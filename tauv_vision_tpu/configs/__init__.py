@@ -1,0 +1,27 @@
+from tauv_vision_tpu.configs.centernet import (
+    AngleConfig,
+    CenternetModelConfig,
+    CenternetTrainConfig,
+    ObjectConfig,
+    ObjectConfigSet,
+    get_head_channels,
+)
+from tauv_vision_tpu.configs.yolact import (
+    ClassConfig,
+    ClassConfigSet,
+    YolactModelConfig,
+    YolactTrainConfig,
+)
+
+__all__ = [
+    "AngleConfig",
+    "CenternetModelConfig",
+    "CenternetTrainConfig",
+    "ObjectConfig",
+    "ObjectConfigSet",
+    "get_head_channels",
+    "ClassConfig",
+    "ClassConfigSet",
+    "YolactModelConfig",
+    "YolactTrainConfig",
+]
