@@ -249,6 +249,12 @@ class IDAUpReverse(nn.Module):
     ) -> List[jnp.ndarray]:
         assert len(features) == len(self.feature_channels)
 
+        if len(features) == 1:
+            # Nothing to aggregate (2-level DLA); identity.  The reference
+            # would crash here (dla.py:357 returns an empty list its caller
+            # indexes), so this is the evident intent.
+            return [features[0]]
+
         new_features = []
         new_feature = features[0]
         for i in range(len(features) - 1):

@@ -1,0 +1,59 @@
+"""Feature pyramid network.
+
+Parity target: ``yolact/model/feature_pyramid.py:8-58`` — 1x1 laterals,
+bilinear-upsample top-down sum, 3x3 prediction convs + leaky-relu, then
+``n_fpn_downsample_layers`` extra stride-2 conv levels (each leaky-relu'd,
+chained from the previous prediction output).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tauv_vision_tpu.ops.image import resize_bilinear
+
+
+class FeaturePyramid(nn.Module):
+    feature_depth: int
+    n_downsample_layers: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, backbone_outputs: Tuple[jnp.ndarray, ...]) -> List[jnp.ndarray]:
+        n_in = len(backbone_outputs)
+
+        laterals = [
+            nn.Conv(
+                self.feature_depth, (1, 1), dtype=self.dtype, name=f"lateral_{i}"
+            )(backbone_outputs[i])
+            for i in range(n_in)
+        ]
+
+        pyramid = [None] * n_in
+        pyramid[-1] = laterals[-1]
+        for i in range(n_in - 2, -1, -1):
+            target_hw = laterals[i].shape[1:3]
+            above = jnp.moveaxis(pyramid[i + 1], -1, -3)  # NHWC -> NCHW
+            above = resize_bilinear(above, target_hw)
+            above = jnp.moveaxis(above, -3, -1)
+            pyramid[i] = laterals[i] + above
+
+        outputs: List[jnp.ndarray] = []
+        for i in range(n_in):
+            out = nn.Conv(
+                self.feature_depth, (3, 3), padding=1, dtype=self.dtype,
+                name=f"prediction_{i}",
+            )(pyramid[i])
+            outputs.append(nn.leaky_relu(out))
+
+        for i in range(self.n_downsample_layers):
+            out = nn.Conv(
+                self.feature_depth, (3, 3), strides=(2, 2), padding=1,
+                dtype=self.dtype, name=f"downsample_{i}",
+            )(outputs[-1])
+            outputs.append(nn.leaky_relu(out))
+
+        return outputs
