@@ -1,0 +1,91 @@
+"""Synthetic square-detection data.
+
+Parity target: ``tests/centernet_square_detection.py:64-126`` — rotated
+squares painted on noise, labels = (center, size, yaw mod pi/2).  This is
+the zero-external-data integration workload: CPU-runnable, procedurally
+labeled, used by the end-to-end train tests and the driver's validation
+config (BASELINE.json names the reference file).
+
+Pure numpy on host; batches convert to jnp at the device boundary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from math import pi
+from typing import Optional, Tuple
+
+import numpy as np
+
+from tauv_vision_tpu.train.centernet_task import CenternetTruth
+
+
+@dataclass
+class SquareDatasetConfig:
+    in_h: int = 64
+    in_w: int = 64
+    max_objects: int = 2
+    min_side: int = 10
+    max_side: int = 24
+    noise_level: float = 0.3
+    rotate: bool = True
+
+
+def _paint_square(
+    img: np.ndarray, cy: float, cx: float, side: float, theta: float
+) -> None:
+    h, w, _ = img.shape
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    dy = y - cy
+    dx = x - cx
+    ry = np.cos(theta) * dy - np.sin(theta) * dx
+    rx = np.sin(theta) * dy + np.cos(theta) * dx
+    inside = (np.abs(ry) <= side / 2) & (np.abs(rx) <= side / 2)
+    img[inside] = 1.0
+
+
+def generate_square_batch(
+    rng: np.random.Generator,
+    batch_size: int,
+    config: Optional[SquareDatasetConfig] = None,
+) -> Tuple[np.ndarray, CenternetTruth]:
+    """Returns (img [B, H, W, 3] float32 in [0, 1]-ish, truth)."""
+    cfg = config or SquareDatasetConfig()
+    h, w, n = cfg.in_h, cfg.in_w, cfg.max_objects
+
+    img = rng.uniform(0, cfg.noise_level, (batch_size, h, w, 3)).astype(np.float32)
+    valid = np.zeros((batch_size, n), bool)
+    label = np.zeros((batch_size, n), np.int32)
+    center = np.zeros((batch_size, n, 2), np.float32)
+    size = np.zeros((batch_size, n, 2), np.float32)
+    yaw = np.zeros((batch_size, n), np.float32)
+
+    for b in range(batch_size):
+        n_objects = int(rng.integers(1, n + 1))
+        for i in range(n_objects):
+            side = float(rng.uniform(cfg.min_side, cfg.max_side))
+            margin = side
+            cy = float(rng.uniform(margin, h - margin))
+            cx = float(rng.uniform(margin, w - margin))
+            theta = float(rng.uniform(0, pi / 2)) if cfg.rotate else 0.0
+
+            _paint_square(img[b], cy, cx, side, theta)
+
+            valid[b, i] = True
+            center[b, i] = (cy / h, cx / w)
+            # Axis-aligned extent of a rotated square.
+            extent = side * (abs(np.cos(theta)) + abs(np.sin(theta)))
+            size[b, i] = (extent / h, extent / w)
+            yaw[b, i] = theta
+
+    truth = CenternetTruth(
+        valid=valid,
+        label=label,
+        center=center,
+        size=size,
+        yaw=yaw,
+        roll=np.zeros_like(yaw),
+        pitch=np.zeros_like(yaw),
+        depth=np.ones_like(yaw),
+    )
+    return img, truth

@@ -1,0 +1,146 @@
+"""Jitted train/eval step factories for both detector families.
+
+Each factory closes over the static configs and returns a function
+``step(state, img, truth) -> (state, losses)`` jitted with data-parallel
+shardings when a mesh is supplied: batch sharded over the data axis,
+params/opt-state replicated, XLA inserting the gradient all-reduce over
+ICI (SURVEY.md §2.9's DP design).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh
+
+from tauv_vision_tpu.configs.centernet import (
+    CenternetModelConfig,
+    CenternetTrainConfig,
+    ObjectConfigSet,
+)
+from tauv_vision_tpu.configs.yolact import YolactModelConfig, YolactTrainConfig
+from tauv_vision_tpu.models.centernet import Centernet
+from tauv_vision_tpu.models.yolact import Yolact
+from tauv_vision_tpu.parallel.mesh import batch_sharding, replicated
+from tauv_vision_tpu.train.centernet_task import CenternetTruth, centernet_loss
+from tauv_vision_tpu.train.state import TrainState
+from tauv_vision_tpu.train.yolact_task import YolactTruth, yolact_loss
+
+
+def _maybe_shard(jit_kwargs: dict, mesh: Optional[Mesh]) -> dict:
+    if mesh is None:
+        return jit_kwargs
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    jit_kwargs["in_shardings"] = (rep, data, data)
+    jit_kwargs["out_shardings"] = (rep, rep)
+    return jit_kwargs
+
+
+def make_centernet_train_step(
+    model: Centernet,
+    model_config: CenternetModelConfig,
+    train_config: CenternetTrainConfig,
+    object_config: ObjectConfigSet,
+    mesh: Optional[Mesh] = None,
+):
+    def loss_fn(params, batch_stats, img, truth: CenternetTruth):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        prediction, mutated = model.apply(
+            variables, img, train=True, mutable=["batch_stats"]
+        )
+        losses = centernet_loss(
+            prediction, truth, model_config, train_config, object_config
+        )
+        return losses.total, (losses, mutated.get("batch_stats"))
+
+    def step(state: TrainState, img, truth: CenternetTruth):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (losses, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, img, truth
+        )
+        state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
+        return state, losses
+
+    return jax.jit(step, **_maybe_shard({"donate_argnums": (0,)}, mesh))
+
+
+def make_centernet_eval_step(
+    model: Centernet,
+    model_config: CenternetModelConfig,
+    train_config: CenternetTrainConfig,
+    object_config: ObjectConfigSet,
+    mesh: Optional[Mesh] = None,
+):
+    def step(state: TrainState, img, truth: CenternetTruth):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        prediction = model.apply(variables, img, train=False)
+        return centernet_loss(
+            prediction, truth, model_config, train_config, object_config
+        )
+
+    kwargs = {}
+    if mesh is not None:
+        kwargs["in_shardings"] = (
+            replicated(mesh), batch_sharding(mesh), batch_sharding(mesh)
+        )
+        kwargs["out_shardings"] = replicated(mesh)
+    return jax.jit(step, **kwargs)
+
+
+def make_yolact_train_step(
+    model: Yolact,
+    model_config: YolactModelConfig,
+    train_config: YolactTrainConfig,
+    mesh: Optional[Mesh] = None,
+):
+    def loss_fn(params, batch_stats, img, truth: YolactTruth):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        prediction, mutated = model.apply(
+            variables, img, train=True, mutable=["batch_stats"]
+        )
+        losses = yolact_loss(prediction, truth, model_config, train_config)
+        return losses.total, (losses, mutated.get("batch_stats"))
+
+    def step(state: TrainState, img, truth: YolactTruth):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (losses, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, img, truth
+        )
+        state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
+        return state, losses
+
+    return jax.jit(step, **_maybe_shard({"donate_argnums": (0,)}, mesh))
+
+
+def make_yolact_eval_step(
+    model: Yolact,
+    model_config: YolactModelConfig,
+    train_config: YolactTrainConfig,
+    mesh: Optional[Mesh] = None,
+):
+    def step(state: TrainState, img, truth: YolactTruth):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        prediction = model.apply(variables, img, train=False)
+        return yolact_loss(prediction, truth, model_config, train_config)
+
+    kwargs = {}
+    if mesh is not None:
+        kwargs["in_shardings"] = (
+            replicated(mesh), batch_sharding(mesh), batch_sharding(mesh)
+        )
+        kwargs["out_shardings"] = replicated(mesh)
+    return jax.jit(step, **kwargs)
