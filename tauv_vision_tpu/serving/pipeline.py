@@ -1,0 +1,186 @@
+"""Fused serving pipelines: uint8 camera frames -> decoded detections in
+one jitted graph.
+
+This is the TPU-native replacement for the ROS nodes' per-frame host
+pipelines (centernet_node.py:90-116, yolact_node.py:106-135): resize +
+normalize + forward + decode fuse into a single XLA program, so each
+batch crosses host->HBM exactly once as uint8 and only the small decoded
+tensors come back (the BASELINE.json north-star requirement).
+
+3D localization from a depth image (depth-window / mask-mean z estimate +
+pinhole back-projection, centernet_node.py:149-185, yolact_node.py:
+177-193) is also provided as fused ops so a host adapter (ROS or
+otherwise) only handles transport.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tauv_vision_tpu.configs.centernet import CenternetModelConfig, ObjectConfigSet
+from tauv_vision_tpu.configs.yolact import YolactModelConfig
+from tauv_vision_tpu.models.centernet import Centernet
+from tauv_vision_tpu.models.yolact import Yolact
+from tauv_vision_tpu.ops.image import preprocess
+from tauv_vision_tpu.serving.centernet_decode import (
+    Detections,
+    KeypointDetections,
+    decode,
+    decode_keypoints,
+)
+from tauv_vision_tpu.serving.yolact_decode import YolactDetections, decode_yolact
+
+# ImageNet statistics, the constants both reference nodes normalize with.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STDDEV = (0.229, 0.224, 0.225)
+
+
+def make_centernet_pipeline(
+    model: Centernet,
+    model_config: CenternetModelConfig,
+    n_detections: int = 10,
+    score_threshold: float = 0.6,
+    dtype=jnp.bfloat16,
+):
+    """Returns jitted ``(variables, img_uint8 [B, H, W, 3]) -> Detections``."""
+
+    @jax.jit
+    def pipeline(variables, img_uint8) -> Detections:
+        img = preprocess(
+            img_uint8, (model_config.in_h, model_config.in_w),
+            IMAGENET_MEAN, IMAGENET_STDDEV, dtype=dtype,
+        )
+        prediction = model.apply(variables, img, train=False)
+        return decode(prediction, model_config, n_detections, score_threshold)
+
+    return pipeline
+
+
+def make_centernet_keypoint_pipeline(
+    model: Centernet,
+    model_config: CenternetModelConfig,
+    object_config: ObjectConfigSet,
+    projection_matrix,
+    n_detections: int = 10,
+    keypoint_n_detections: int = 50,
+    score_threshold: float = 0.6,
+    keypoint_score_threshold: float = 0.3,
+    dtype=jnp.bfloat16,
+):
+    """Full keypoint+PnP pipeline (the centernet node's configuration,
+    centernet_node.py:106-116)."""
+    projection_matrix = jnp.asarray(projection_matrix)
+
+    @jax.jit
+    def pipeline(variables, img_uint8) -> KeypointDetections:
+        img = preprocess(
+            img_uint8, (model_config.in_h, model_config.in_w),
+            IMAGENET_MEAN, IMAGENET_STDDEV, dtype=dtype,
+        )
+        prediction = model.apply(variables, img, train=False)
+        return decode_keypoints(
+            prediction, model_config, object_config, projection_matrix,
+            n_detections, keypoint_n_detections,
+            score_threshold, keypoint_score_threshold,
+        )
+
+    return pipeline
+
+
+def make_yolact_pipeline(
+    model: Yolact,
+    model_config: YolactModelConfig,
+    top_k: int = 20,
+    iou_threshold: float = 0.5,
+    confidence_threshold: float = 0.5,
+    mask_hw: Optional[Tuple[int, int]] = None,
+    dtype=jnp.bfloat16,
+):
+    """Returns jitted ``(variables, img_uint8) -> YolactDetections``."""
+
+    @jax.jit
+    def pipeline(variables, img_uint8) -> YolactDetections:
+        img = preprocess(
+            img_uint8, (model_config.in_h, model_config.in_w),
+            model_config.img_mean, model_config.img_stddev, dtype=dtype,
+        )
+        prediction = model.apply(variables, img, train=False)
+        return decode_yolact(
+            prediction, model_config, top_k, iou_threshold,
+            confidence_threshold, mask_hw=mask_hw,
+        )
+
+    return pipeline
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def depth_window_z(
+    depth_img: jnp.ndarray, centers_px: jnp.ndarray, window: int = 5
+) -> jnp.ndarray:
+    """Mean of valid depths in a window around each center
+    (centernet_node.py:149-178).
+
+    Args:
+      depth_img: [B, H, W] depth in meters (0/NaN = invalid).
+      centers_px: [B, K, 2] integer (y, x) pixel centers.
+    Returns: [B, K] z estimates (NaN when no valid depth in window).
+    """
+    b, h, w = depth_img.shape
+    half = window // 2
+    offs = jnp.arange(-half, half + 1)
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+
+    ys = jnp.clip(centers_px[..., 0:1] + oy.reshape(-1), 0, h - 1)  # [B, K, W2]
+    xs = jnp.clip(centers_px[..., 1:2] + ox.reshape(-1), 0, w - 1)
+    flat = depth_img.reshape(b, h * w)
+    vals = jnp.take_along_axis(
+        flat[:, None, :], ys * w + xs, axis=2
+    )  # [B, K, W2]
+    valid = jnp.isfinite(vals) & (vals > 0)
+    count = valid.sum(-1)
+    mean = jnp.where(valid, vals, 0.0).sum(-1) / jnp.maximum(count, 1)
+    return jnp.where(count > 0, mean, jnp.nan)
+
+
+@jax.jit
+def mask_mean_z(depth_img: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+    """Mean depth inside each detection mask (yolact_node.py:184):
+    z = nanmean(depth[mask > 0.5]).
+
+    Args:
+      depth_img: [B, H, W]; masks: [B, K, H, W].
+    Returns: [B, K].
+    """
+    inside = (masks > 0.5) & jnp.isfinite(depth_img)[:, None] & (
+        depth_img[:, None] > 0
+    )
+    count = inside.sum((-1, -2))
+    total = jnp.where(inside, depth_img[:, None], 0.0).sum((-1, -2))
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), jnp.nan)
+
+
+@jax.jit
+def back_project(
+    y_norm: jnp.ndarray,
+    x_norm: jnp.ndarray,
+    z: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    img_hw: Tuple[int, int] | jnp.ndarray,
+) -> jnp.ndarray:
+    """Pinhole back-projection of normalized image coords + depth to a 3D
+    camera-frame point (yolact_node.py:192-193, centernet_node.py:180-185).
+
+    Returns [..., 3] (x, y, z) camera-frame points.
+    """
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    h, w = img_hw[0], img_hw[1]
+    u = x_norm * w
+    v = y_norm * h
+    x = (u - cx) / fx * z
+    y = (v - cy) / fy * z
+    return jnp.stack((x, y, z), axis=-1)
