@@ -4,6 +4,13 @@ Measures combined CenterNet+YOLACT throughput on 640x480 uint8 frames —
 each frame runs through BOTH detector pipelines (fused preprocess +
 forward + decode, bf16) — plus the p50 decode-only latency.
 
+Timing methodology: this image's relay backend makes
+``block_until_ready`` return before execution finishes and costs ~27 ms
+per host fetch, so each measurement chains N pipeline invocations inside
+one jitted ``lax.scan`` (serialized through a data dependency) and
+fetches a scalar once; per-iteration time is the delta between N and 2N
+chains, which cancels the fixed fetch overhead.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 North star: >= 1000 frames/sec/chip (vs_baseline = value / 1000).
 """
@@ -21,7 +28,7 @@ BASELINE_FPS = 1000.0
 BENCH_H, BENCH_W = 480, 640
 
 
-def build_centernet(batch_size: int):
+def build_centernet(deform: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -31,7 +38,7 @@ def build_centernet(batch_size: int):
         ObjectConfig,
         ObjectConfigSet,
     )
-    from tauv_vision_tpu.models.centernet import Centernet
+    from tauv_vision_tpu.models.centerpoint_dla import CenterpointDLA34
     from tauv_vision_tpu.serving.pipeline import make_centernet_pipeline
 
     object_config = ObjectConfigSet(
@@ -49,30 +56,28 @@ def build_centernet(batch_size: int):
                          "torpedo_24", "torpedo_24_octagon")
         )
     )
-    # Production config (centernet/configs/samples_torpedo.py): custom DLA,
-    # 128ch x 5 tree levels, stride-4 output; 640x480 bench input.
+    # The deployed CenterNet is CenterpointDLA34 (centernet_node.py:46,
+    # centernet/scripts/train.py:191); bench it at 640x480.
     model_config = CenternetModelConfig(
         in_h=BENCH_H, in_w=BENCH_W,
         backbone_heights=(2, 2, 2, 2, 2),
         backbone_channels=(128, 128, 128, 128, 128, 128),
         downsamples=2, angle_bin_overlap=pi / 3,
     )
-    model = Centernet(
-        object_config=object_config,
-        backbone_heights=model_config.backbone_heights,
-        backbone_channels=model_config.backbone_channels,
-        downsamples=model_config.downsamples,
-        dtype=jnp.bfloat16,
+    model = CenterpointDLA34(
+        object_config=object_config, dtype=jnp.bfloat16, deform=deform
     )
     img = jnp.zeros((1, BENCH_H, BENCH_W, 3), jnp.float32)
-    variables = model.init(jax.random.key(0), img, train=False)
+    variables = jax.jit(lambda k: model.init(k, img, train=False))(
+        jax.random.key(0)
+    )
     pipeline = make_centernet_pipeline(
         model, model_config, n_detections=10, score_threshold=0.6,
     )
     return pipeline, variables, model, model_config
 
 
-def build_yolact(batch_size: int):
+def build_yolact():
     import jax
     import jax.numpy as jnp
 
@@ -93,7 +98,9 @@ def build_yolact(batch_size: int):
     )
     model = Yolact(model_config, dtype=jnp.bfloat16)
     img = jnp.zeros((1, BENCH_H, BENCH_W, 3), jnp.float32)
-    variables = model.init(jax.random.key(0), img, train=False)
+    variables = jax.jit(lambda k: model.init(k, img, train=False))(
+        jax.random.key(0)
+    )
     pipeline = make_yolact_pipeline(
         model, model_config, top_k=20, iou_threshold=0.5,
         confidence_threshold=0.5,
@@ -101,23 +108,40 @@ def build_yolact(batch_size: int):
     return pipeline, variables, model, model_config
 
 
-def time_pipeline(pipeline, variables, frames, n_warmup=3, n_iters=10):
+def time_chained(pipeline, variables, frames, n_chain=8, n_reps=3):
+    """Median per-invocation seconds via N-vs-2N chained scans."""
+    import functools
+
     import jax
+    import jax.numpy as jnp
 
-    out = pipeline(variables, frames)
-    jax.block_until_ready(out)
-    for _ in range(n_warmup):
-        jax.block_until_ready(pipeline(variables, frames))
-    times = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(pipeline(variables, frames))
-        times.append(time.perf_counter() - t0)
-    return times
+    @functools.partial(jax.jit, static_argnums=2)
+    def chained(variables, frames, n):
+        def body(carry, _):
+            out = pipeline(variables, frames + carry)
+            tiny = (out.score.astype(jnp.float32).sum() * 0).astype(frames.dtype)
+            return tiny, out.score.astype(jnp.float32).mean()
+        _, scores = jax.lax.scan(
+            body, jnp.zeros((), frames.dtype), None, length=n
+        )
+        return scores.sum()
+
+    def run(n):
+        float(chained(variables, frames, n))  # compile + warm
+        times = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            float(chained(variables, frames, n))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t1 = run(n_chain)
+    t2 = run(2 * n_chain)
+    return max(t2 - t1, 1e-9) / n_chain
 
 
-def time_decode(model, variables, model_config, frames, family):
-    """p50 latency of the decode stage alone."""
+def time_decode(model, variables, model_config, frames, family, n_chain=32):
+    """p50 decode-only latency via chained scans."""
     import jax
     import jax.numpy as jnp
 
@@ -126,33 +150,52 @@ def time_decode(model, variables, model_config, frames, family):
     from tauv_vision_tpu.serving.pipeline import IMAGENET_MEAN, IMAGENET_STDDEV
     from tauv_vision_tpu.serving.yolact_decode import decode_yolact
 
-    img = preprocess(
-        frames, (model_config.in_h, model_config.in_w),
-        IMAGENET_MEAN, IMAGENET_STDDEV, dtype=jnp.bfloat16,
-    )
-    prediction = model.apply(variables, img, train=False)
-    prediction = jax.block_until_ready(prediction)
+    @jax.jit
+    def forward(variables, frames):
+        img = preprocess(
+            frames, (model_config.in_h, model_config.in_w),
+            IMAGENET_MEAN, IMAGENET_STDDEV, dtype=jnp.bfloat16,
+        )
+        return model.apply(variables, img, train=False)
+
+    prediction = forward(variables, frames)
 
     if family == "centernet":
-        fn = jax.jit(
-            lambda p: cn_decode(p, model_config, 10, 0.6)
-        )
+        decode_fn = lambda p: cn_decode(p, model_config, 10, 0.6)  # noqa: E731
     else:
-        fn = jax.jit(
-            lambda p: decode_yolact(p, model_config, 20, 0.5, 0.5)
+        decode_fn = lambda p: decode_yolact(  # noqa: E731
+            p, model_config, 20, 0.5, 0.5
         )
 
-    jax.block_until_ready(fn(prediction))
-    times = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(prediction))
-        times.append(time.perf_counter() - t0)
-    return float(np.percentile(times, 50))
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chained(p, n):
+        def body(carry, _):
+            shifted = jax.tree_util.tree_map(lambda a: a + carry, p)
+            out = decode_fn(shifted)
+            tiny = out.score.astype(jnp.float32).sum() * 0
+            return tiny, out.score.astype(jnp.float32).mean()
+        _, scores = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+        return scores.sum()
+
+    def run(n):
+        float(chained(prediction, n))
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(chained(prediction, n))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t1 = run(n_chain)
+    t2 = run(2 * n_chain)
+    return max(t2 - t1, 1e-9) / n_chain
 
 
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    deform = "--no-deform" not in sys.argv
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (batch_size, BENCH_H, BENCH_W, 3),
@@ -163,15 +206,14 @@ def main():
 
     frames = jnp.asarray(frames)
 
-    cn_pipeline, cn_vars, cn_model, cn_cfg = build_centernet(batch_size)
-    yl_pipeline, yl_vars, yl_model, yl_cfg = build_yolact(batch_size)
+    cn_pipeline, cn_vars, cn_model, cn_cfg = build_centernet(deform=deform)
+    yl_pipeline, yl_vars, yl_model, yl_cfg = build_yolact()
 
-    cn_times = time_pipeline(cn_pipeline, cn_vars, frames)
-    yl_times = time_pipeline(yl_pipeline, yl_vars, frames)
+    cn_time = time_chained(cn_pipeline, cn_vars, frames)
+    yl_time = time_chained(yl_pipeline, yl_vars, frames)
 
     # Combined: every frame goes through both nets end-to-end.
-    per_batch = np.median(cn_times) + np.median(yl_times)
-    fps = batch_size / per_batch
+    fps = batch_size / (cn_time + yl_time)
 
     decode_p50 = time_decode(cn_model, cn_vars, cn_cfg, frames, "centernet")
 
@@ -182,8 +224,9 @@ def main():
         "vs_baseline": round(float(fps) / BASELINE_FPS, 4),
         "detail": {
             "batch_size": batch_size,
-            "centernet_fps": round(batch_size / float(np.median(cn_times)), 2),
-            "yolact_fps": round(batch_size / float(np.median(yl_times)), 2),
+            "deform_conv": deform,
+            "centernet_fps": round(batch_size / cn_time, 2),
+            "yolact_fps": round(batch_size / yl_time, 2),
             "decode_p50_ms": round(decode_p50 * 1e3, 3),
             "device": str(jax.devices()[0]),
         },

@@ -1,0 +1,478 @@
+"""DLA-34 + deformable-conv IDA upsampling — the production CenterNet
+backbone.
+
+Parity target: ``centernet/model/backbones/centerpoint_dla.py`` (the
+CenterPoint port the reference trains and deploys):
+- DLA-34 trunk: base 7x7 conv, two conv levels, four HDA tree levels
+  ([1,1,1,2,2,1] x [16,32,64,128,256,512], :224-315);
+- DLAUp: iterative aggregation of the stride-4..32 levels with
+  DeformConv project/node blocks and fixed-bilinear-initialized
+  depthwise transposed convs (:411-462, :334-344);
+- final IDAUp to a stride-4, 64-channel map; heads with a 256-wide 3x3
+  conv and -2.19 heatmap bias (:476-531);
+- deformable conv v2 with learned offset + sigmoid mask (:360-392),
+  implemented here as the XLA gather formulation (ops/deform_conv.py).
+
+The reference mutates its layer lists in place; this restates the same
+dataflow functionally.  NHWC throughout.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tauv_vision_tpu.configs.centernet import ObjectConfigSet, get_head_channels
+from tauv_vision_tpu.models.centernet import Prediction
+from tauv_vision_tpu.models.dla import pad_to_match
+from tauv_vision_tpu.ops.deform_conv import deform_conv2d
+
+BN_MOMENTUM = 0.9  # == torch momentum 0.1
+BN_EPS = 1e-5
+
+DLA34_LEVELS = (1, 1, 1, 2, 2, 1)
+DLA34_CHANNELS = (16, 32, 64, 128, 256, 512)
+
+
+def _bn(train: bool, name: str) -> nn.BatchNorm:
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+        dtype=jnp.float32, name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    """conv3x3(s)-bn-relu-conv3x3-bn (+ supplied residual) - relu
+    (centerpoint_dla.py:30-59); residual is padded to match."""
+
+    planes: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, train: bool = False):
+        if residual is None:
+            residual = x
+        out = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=1, use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        out = nn.relu(_bn(train, "bn1")(out))
+        out = nn.Conv(
+            self.planes, (3, 3), padding=1, use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(out)
+        out = _bn(train, "bn2")(out)
+        residual = pad_to_match(residual, out.shape[1:3])
+        return nn.relu(out + residual)
+
+
+class Root(nn.Module):
+    """concat -> 1x1 conv -> bn (+ children[0] if residual) -> relu
+    (centerpoint_dla.py:147-165)."""
+
+    out_channels: int
+    residual: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, children: List[jnp.ndarray], train: bool = False):
+        x = jnp.concatenate(children, axis=-1)
+        x = nn.Conv(
+            self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = _bn(train, "bn")(x)
+        if self.residual:
+            x = x + children[0]
+        return nn.relu(x)
+
+
+class Tree(nn.Module):
+    """HDA tree (centerpoint_dla.py:168-221)."""
+
+    levels: int
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    level_root: bool = False
+    root_dim: int = 0
+    root_residual: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, children=None, train: bool = False):
+        children = [] if children is None else list(children)
+
+        root_dim = self.root_dim
+        if root_dim == 0:
+            root_dim = 2 * self.out_channels
+        if self.level_root:
+            root_dim += self.in_channels
+
+        bottom = x
+        if self.stride > 1:
+            # ceil-mode max pool.
+            pad_h = (-x.shape[1]) % self.stride
+            pad_w = (-x.shape[2]) % self.stride
+            bottom = nn.max_pool(
+                x, (self.stride, self.stride),
+                strides=(self.stride, self.stride),
+                padding=((0, pad_h), (0, pad_w)),
+            )
+        proj = bottom
+        if self.in_channels != self.out_channels:
+            proj = nn.Conv(
+                self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                name="project_conv",
+            )(bottom)
+            proj = _bn(train, "project_bn")(proj)
+
+        if self.level_root:
+            children.append(bottom)
+
+        if self.levels == 1:
+            x1 = BasicBlock(
+                self.out_channels, self.stride, dtype=self.dtype, name="tree1"
+            )(x, residual=proj, train=train)
+            x2 = BasicBlock(
+                self.out_channels, 1, dtype=self.dtype, name="tree2"
+            )(x1, train=train)
+            return Root(
+                self.out_channels, self.root_residual, dtype=self.dtype,
+                name="root",
+            )([x2, x1] + children, train=train)
+
+        x1 = Tree(
+            self.levels - 1, self.in_channels, self.out_channels,
+            stride=self.stride, root_dim=0,
+            root_residual=self.root_residual, dtype=self.dtype, name="tree1",
+        )(x, residual=proj, train=train)
+        children.append(x1)
+        return Tree(
+            self.levels - 1, self.out_channels, self.out_channels,
+            root_dim=root_dim + self.out_channels,
+            root_residual=self.root_residual, dtype=self.dtype, name="tree2",
+        )(x1, children=children, train=train)
+
+
+class DLATrunk(nn.Module):
+    """DLA-34 feature trunk returning all six level outputs
+    (centerpoint_dla.py:224-296)."""
+
+    levels: Sequence[int] = DLA34_LEVELS
+    channels: Sequence[int] = DLA34_CHANNELS
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, train: bool = False) -> List[jnp.ndarray]:
+        x = nn.Conv(
+            self.channels[0], (7, 7), padding=3, use_bias=False,
+            dtype=self.dtype, name="base_conv",
+        )(img)
+        x = nn.relu(_bn(train, "base_bn")(x))
+
+        outputs = []
+
+        # level0 / level1: plain conv levels.
+        for level_i in (0, 1):
+            stride = 1 if level_i == 0 else 2
+            for conv_i in range(self.levels[level_i]):
+                x = nn.Conv(
+                    self.channels[level_i], (3, 3),
+                    strides=(stride if conv_i == 0 else 1,) * 2,
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    name=f"level{level_i}_conv{conv_i}",
+                )(x)
+                x = nn.relu(_bn(train, f"level{level_i}_bn{conv_i}")(x))
+            outputs.append(x)
+
+        # level2..5: trees.
+        for level_i in (2, 3, 4, 5):
+            x = Tree(
+                self.levels[level_i],
+                self.channels[level_i - 1],
+                self.channels[level_i],
+                stride=2,
+                level_root=(level_i != 2),
+                dtype=self.dtype,
+                name=f"level{level_i}",
+            )(x, train=train)
+            outputs.append(x)
+
+        return outputs
+
+
+class DeformConvBlock(nn.Module):
+    """DCNv2 + BN + relu (centerpoint_dla.py:360-392): 3x3 offset conv,
+    3x3 mask conv (sigmoid), modulated deform conv.
+
+    ``deform=False`` swaps the DCN for a plain 3x3 conv — the custom
+    backbone's IDA style (dla.py:212-284) and the fast-inference option
+    (gather-based DCN is the TPU throughput bottleneck; SURVEY.md §7
+    names the non-deform fallback).
+    """
+
+    out_channels: int
+    deform: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if not self.deform:
+            out = nn.Conv(
+                self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                name="conv",
+            )(x)
+            return nn.relu(_bn(train, "bn")(out))
+        offset = nn.Conv(
+            18, (3, 3), padding=1, dtype=self.dtype, name="offset",
+            kernel_init=nn.initializers.zeros,
+        )(x)
+        mask = nn.Conv(
+            9, (3, 3), padding=1, dtype=self.dtype, name="mask",
+            kernel_init=nn.initializers.zeros,
+        )(x)
+        mask = jax.nn.sigmoid(mask)
+
+        weight = self.param(
+            "weight",
+            nn.initializers.he_normal(),
+            (3, 3, x.shape[-1], self.out_channels),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.out_channels,), jnp.float32
+        )
+        out = deform_conv2d(
+            x.astype(self.dtype),
+            offset.astype(jnp.float32),
+            mask.astype(jnp.float32),
+            weight.astype(self.dtype),
+            bias,
+            stride=1, padding=1,
+        )
+        return nn.relu(_bn(train, "bn")(out))
+
+
+def _bilinear_kernel(k: int) -> np.ndarray:
+    """fill_up_weights bilinear upsample kernel (centerpoint_dla.py:334-344)."""
+    f = int(np.ceil(k / 2))
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    w = np.zeros((k, k), np.float32)
+    for i in range(k):
+        for j in range(k):
+            w[i, j] = (1 - abs(i / f - c)) * (1 - abs(j / f - c))
+    return w
+
+
+class DepthwiseUpsample(nn.Module):
+    """groups=C ConvTranspose(kernel=2f, stride=f, padding=f//2,
+    bias=False) initialized to bilinear interpolation, exactly matching
+    torch's parameterization (trainable, like the reference)."""
+
+    factor: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.factor
+        k = 2 * f
+        c = x.shape[-1]
+
+        def init(key, shape, dtype):
+            kernel = _bilinear_kernel(k)
+            return jnp.asarray(
+                np.broadcast_to(kernel[:, :, None, None], shape), dtype
+            )
+
+        kernel = self.param("kernel", init, (k, k, 1, c), jnp.float32)
+
+        pad = k - 1 - f // 2
+        flipped = jnp.flip(kernel, axis=(0, 1)).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            flipped,
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(f, f),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+
+class IDAUpStage(nn.Module):
+    """One IDAUp (centerpoint_dla.py:411-438) applied functionally:
+    for i in 1..n-1: layers[i] = node(up(proj(layers[i])) + layers[i-1])."""
+
+    out_channels: int
+    up_factors: Sequence[int]  # per input index >= 1
+    deform: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, layers: List[jnp.ndarray], train: bool = False):
+        layers = list(layers)
+        for i in range(1, len(layers)):
+            projected = DeformConvBlock(
+                self.out_channels, deform=self.deform, dtype=self.dtype,
+                name=f"proj_{i}",
+            )(layers[i], train=train)
+            upsampled = DepthwiseUpsample(
+                int(self.up_factors[i]), dtype=self.dtype, name=f"up_{i}"
+            )(projected) if self.up_factors[i] > 1 else projected
+            upsampled = pad_to_match(upsampled, layers[i - 1].shape[1:3])
+            layers[i] = DeformConvBlock(
+                self.out_channels, deform=self.deform, dtype=self.dtype,
+                name=f"node_{i}",
+            )(upsampled + layers[i - 1], train=train)
+        return layers
+
+
+class DLAUp(nn.Module):
+    """Aggregate levels first_level..5 down to stride-4
+    (centerpoint_dla.py:441-462)."""
+
+    channels: Sequence[int]  # channels of the consumed levels
+    deform: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, layers: List[jnp.ndarray], train: bool = False):
+        n = len(layers)
+        channels = list(self.channels)
+        in_channels = list(self.channels)
+        scales = np.array([2**i for i in range(n)], dtype=int)
+
+        out = [layers[-1]]
+        layers = list(layers)
+        for i in range(n - 1):
+            j = -i - 2
+            stage = IDAUpStage(
+                channels[j],
+                (scales[j:] // scales[j]).tolist(),
+                deform=self.deform,
+                dtype=self.dtype,
+                name=f"ida_{i}",
+            )
+            updated = stage(layers[j:], train=train)
+            layers[j:] = updated
+            scales[j + 1:] = scales[j]
+            in_channels[j + 1:] = [channels[j]] * len(in_channels[j + 1:])
+            out.insert(0, layers[-1])
+        return out
+
+
+class DLASeg(nn.Module):
+    """Full backbone + heads (centerpoint_dla.py:476-531)."""
+
+    head_channels: Sequence[int]
+    down_ratio: int = 4
+    last_level: int = 5
+    head_conv: int = 256
+    heatmap_head_indices: Tuple[int, ...] = (0,)
+    deform: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, train: bool = False) -> List[jnp.ndarray]:
+        first_level = int(np.log2(self.down_ratio))
+
+        levels = DLATrunk(dtype=self.dtype, name="base")(img, train=train)
+
+        channels = list(DLA34_CHANNELS[first_level:])
+        dla_up_out = DLAUp(
+            channels, deform=self.deform, dtype=self.dtype, name="dla_up"
+        )(levels[first_level:], train=train)
+
+        y = list(dla_up_out[: self.last_level - first_level])
+        up_factors = [2**i for i in range(self.last_level - first_level)]
+        y = IDAUpStage(
+            channels[0], up_factors, deform=self.deform, dtype=self.dtype,
+            name="ida_up",
+        )(y, train=train)
+        features = y[-1]
+
+        outputs = []
+        for head_i, n_out in enumerate(self.head_channels):
+            bias_init = -2.19 if head_i in self.heatmap_head_indices else 0.0
+            h = nn.Conv(
+                self.head_conv, (3, 3), padding=1, dtype=self.dtype,
+                name=f"head_{head_i}_conv",
+            )(features)
+            h = nn.relu(h)
+            h = nn.Conv(
+                n_out, (1, 1),
+                bias_init=nn.initializers.constant(bias_init),
+                dtype=self.dtype, name=f"head_{head_i}_out",
+            )(h)
+            outputs.append(h.astype(jnp.float32))
+        return outputs
+
+
+class CenterpointDLA34(nn.Module):
+    """Head-order wrapper emitting a Prediction
+    (centerpoint_dla.py:544-578); NHWC fields."""
+
+    object_config: ObjectConfigSet
+    dtype: jnp.dtype = jnp.float32
+    head_conv: int = 256
+    deform: bool = True
+
+    @nn.compact
+    def __call__(self, img, train: bool = False) -> Prediction:
+        oc = self.object_config
+        head_channels = get_head_channels(oc)
+
+        heatmap_heads = [0]
+        if oc.train_keypoints:
+            heatmap_heads.append(1)
+
+        out = list(
+            DLASeg(
+                head_channels=head_channels,
+                head_conv=self.head_conv,
+                heatmap_head_indices=tuple(heatmap_heads),
+                deform=self.deform,
+                dtype=self.dtype,
+                name="model",
+            )(img, train=train)
+        )
+
+        heatmap = out.pop(0)
+        keypoint_heatmap = None
+        keypoint_affinity = None
+        if oc.train_keypoints:
+            keypoint_heatmap = out.pop(0)
+            aff = out.pop(0)
+            b, h, w, _ = aff.shape
+            keypoint_affinity = aff.reshape(b, h, w, oc.n_keypoints, 2)
+
+        size = out.pop(0)
+        offset = out.pop(0)
+        yaw_bin = out.pop(0) if oc.train_yaw else None
+        yaw_offset = out.pop(0) if oc.train_yaw else None
+        pitch_bin = out.pop(0) if oc.train_pitch else None
+        pitch_offset = out.pop(0) if oc.train_pitch else None
+        roll_bin = out.pop(0) if oc.train_roll else None
+        roll_offset = out.pop(0) if oc.train_roll else None
+        depth = out.pop(0) if oc.train_depth else None
+
+        return Prediction(
+            heatmap=heatmap,
+            keypoint_heatmap=keypoint_heatmap,
+            keypoint_affinity=keypoint_affinity,
+            size=size,
+            offset=offset,
+            roll_bin=roll_bin,
+            roll_offset=roll_offset,
+            pitch_bin=pitch_bin,
+            pitch_offset=pitch_offset,
+            yaw_bin=yaw_bin,
+            yaw_offset=yaw_offset,
+            depth=depth,
+        )
