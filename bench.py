@@ -117,9 +117,15 @@ def time_chained(pipeline, variables, frames, n_chain=8, n_reps=3):
 
     @functools.partial(jax.jit, static_argnums=2)
     def chained(variables, frames, n):
+        # The carry must be genuinely data-dependent or XLA constant-folds
+        # it to zero and hoists the loop-invariant body out of the scan
+        # (observed: impossible TFLOP/s).  score-sum mod 2 perturbs the
+        # input by at most 1 intensity level while forcing serialization.
         def body(carry, _):
             out = pipeline(variables, frames + carry)
-            tiny = (out.score.astype(jnp.float32).sum() * 0).astype(frames.dtype)
+            tiny = (
+                out.score.astype(jnp.float32).sum().astype(jnp.int32) % 2
+            ).astype(frames.dtype)
             return tiny, out.score.astype(jnp.float32).mean()
         _, scores = jax.lax.scan(
             body, jnp.zeros((), frames.dtype), None, length=n
@@ -172,9 +178,11 @@ def time_decode(model, variables, model_config, frames, family, n_chain=32):
     @functools.partial(jax.jit, static_argnums=1)
     def chained(p, n):
         def body(carry, _):
-            shifted = jax.tree_util.tree_map(lambda a: a + carry, p)
+            shifted = jax.tree_util.tree_map(
+                lambda a: a + carry.astype(a.dtype), p
+            )
             out = decode_fn(shifted)
-            tiny = out.score.astype(jnp.float32).sum() * 0
+            tiny = out.score.astype(jnp.float32).sum() * 1e-12
             return tiny, out.score.astype(jnp.float32).mean()
         _, scores = jax.lax.scan(body, jnp.zeros(()), None, length=n)
         return scores.sum()
