@@ -57,9 +57,11 @@ def build_centernet(deform: bool = True):
         )
     )
     # The deployed CenterNet is CenterpointDLA34 (centernet_node.py:46,
-    # centernet/scripts/train.py:191); bench it at 640x480.
+    # centernet/scripts/train.py:191) at its native 640x360 input; the
+    # fused pipeline resizes the 640x480 camera frames on-device exactly
+    # like the node does (centernet_node.py:90-92).
     model_config = CenternetModelConfig(
-        in_h=BENCH_H, in_w=BENCH_W,
+        in_h=360, in_w=640,
         backbone_heights=(2, 2, 2, 2, 2),
         backbone_channels=(128, 128, 128, 128, 128, 128),
         downsamples=2, angle_bin_overlap=pi / 3,
@@ -85,9 +87,11 @@ def build_yolact():
     from tauv_vision_tpu.models.yolact import Yolact
     from tauv_vision_tpu.serving.pipeline import make_yolact_pipeline
 
-    # Production config (yolact/scripts/train.py:28-50) at 640x480.
+    # Production config (yolact/scripts/train.py:28-50) at its native
+    # 640x360; the pipeline resizes 640x480 frames on-device like the
+    # node (yolact_node.py:106-114).
     model_config = YolactModelConfig(
-        in_w=BENCH_W, in_h=BENCH_H, feature_depth=256, n_classes=7,
+        in_w=640, in_h=360, feature_depth=256, n_classes=7,
         n_prototype_masks=8,
         n_masknet_layers_pre_upsample=1, n_masknet_layers_post_upsample=1,
         n_prediction_head_layers=1, n_classification_layers=0,
