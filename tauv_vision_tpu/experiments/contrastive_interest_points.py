@@ -85,7 +85,7 @@ def random_homography(
     return old, new
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(jax.jit, static_argnums=(0, 3))
 def equivariance_step(model, params, opt_state, tx_update, img, quads):
     """One training step over n_warps homographies of one image.
 
