@@ -11,6 +11,13 @@ from __future__ import annotations
 from typing import List, Tuple
 
 import flax.linen as nn
+
+# Non-backbone convs are xavier-uniform initialized like the
+# reference (yolact/model/weights.py:14-23).
+import functools as _functools
+Conv = _functools.partial(
+    nn.Conv, kernel_init=nn.initializers.xavier_uniform()
+)
 import jax.numpy as jnp
 
 from tauv_vision_tpu.ops.image import resize_bilinear
@@ -26,7 +33,7 @@ class FeaturePyramid(nn.Module):
         n_in = len(backbone_outputs)
 
         laterals = [
-            nn.Conv(
+            Conv(
                 self.feature_depth, (1, 1), dtype=self.dtype, name=f"lateral_{i}"
             )(backbone_outputs[i])
             for i in range(n_in)
@@ -43,14 +50,14 @@ class FeaturePyramid(nn.Module):
 
         outputs: List[jnp.ndarray] = []
         for i in range(n_in):
-            out = nn.Conv(
+            out = Conv(
                 self.feature_depth, (3, 3), padding=1, dtype=self.dtype,
                 name=f"prediction_{i}",
             )(pyramid[i])
             outputs.append(nn.leaky_relu(out))
 
         for i in range(self.n_downsample_layers):
-            out = nn.Conv(
+            out = Conv(
                 self.feature_depth, (3, 3), strides=(2, 2), padding=1,
                 dtype=self.dtype, name=f"downsample_{i}",
             )(outputs[-1])

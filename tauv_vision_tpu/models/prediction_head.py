@@ -14,6 +14,13 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+
+# Non-backbone convs are xavier-uniform initialized like the
+# reference (yolact/model/weights.py:14-23).
+import functools as _functools
+Conv = _functools.partial(
+    nn.Conv, kernel_init=nn.initializers.xavier_uniform()
+)
 import jax.numpy as jnp
 
 BN_MOMENTUM = 0.9
@@ -34,13 +41,13 @@ class Bottleneck(nn.Module):
             use_running_average=not train, momentum=BN_MOMENTUM,
             epsilon=BN_EPS, dtype=jnp.float32, name=name,
         )
-        out = nn.Conv(planes, (1, 1), use_bias=False, dtype=self.dtype,
+        out = Conv(planes, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
         out = nn.relu(bn("bn1")(out))
-        out = nn.Conv(planes, (3, 3), padding=1, use_bias=False,
+        out = Conv(planes, (3, 3), padding=1, use_bias=False,
                       dtype=self.dtype, name="conv2")(out)
         out = nn.relu(bn("bn2")(out))
-        out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+        out = Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv3")(out)
         out = bn("bn3")(out)
         return nn.relu(out + x)
@@ -56,7 +63,7 @@ class ExtraStage(nn.Module):
     def __call__(self, x, train: bool = False):
         bottleneck = Bottleneck(self.features, dtype=self.dtype,
                                 name="bottleneck")(x, train=train)
-        conv = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="conv")(x)
+        conv = Conv(self.features, (1, 1), dtype=self.dtype, name="conv")(x)
         bn = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM,
             epsilon=BN_EPS, dtype=jnp.float32, name="bn",
@@ -93,7 +100,7 @@ class PredictionHead(nn.Module):
             classification = ExtraStage(d, dtype=self.dtype, name=f"cls_{i}")(
                 classification, train=train
             )
-        classification = nn.Conv(
+        classification = Conv(
             self.n_anchors * (self.n_classes + 1), (3, 3), padding=1,
             dtype=self.dtype, name="classification",
         )(classification)
@@ -102,7 +109,7 @@ class PredictionHead(nn.Module):
             box_encoding = ExtraStage(d, dtype=self.dtype, name=f"box_{i}")(
                 box_encoding, train=train
             )
-        box_encoding = nn.Conv(
+        box_encoding = Conv(
             self.n_anchors * 4, (3, 3), padding=1, dtype=self.dtype, name="box"
         )(box_encoding)
 
@@ -110,7 +117,7 @@ class PredictionHead(nn.Module):
             mask_coeff = ExtraStage(d, dtype=self.dtype, name=f"mask_{i}")(
                 mask_coeff, train=train
             )
-        mask_coeff = nn.Conv(
+        mask_coeff = Conv(
             self.n_anchors * self.n_prototype_masks, (3, 3), padding=1,
             dtype=self.dtype, name="mask",
         )(mask_coeff)

@@ -9,6 +9,13 @@ the final 1x1 output layer.
 from __future__ import annotations
 
 import flax.linen as nn
+
+# Non-backbone convs are xavier-uniform initialized like the
+# reference (yolact/model/weights.py:14-23).
+import functools as _functools
+Conv = _functools.partial(
+    nn.Conv, kernel_init=nn.initializers.xavier_uniform()
+)
 import jax.numpy as jnp
 
 from tauv_vision_tpu.models.layers import TorchConvTranspose
@@ -27,7 +34,7 @@ class Protonet(nn.Module):
 
         def conv_stack(x, count, prefix):
             for i in range(count):
-                x = nn.Conv(
+                x = Conv(
                     self.feature_depth, (3, 3), padding=1, dtype=self.dtype,
                     name=f"{prefix}_{i}",
                 )(x)
@@ -47,7 +54,7 @@ class Protonet(nn.Module):
         )(x)
         x = nn.leaky_relu(x)
         x = conv_stack(x, self.n_layers_post_upsample, "post")
-        x = nn.Conv(
+        x = Conv(
             self.n_prototype_masks, (1, 1), dtype=self.dtype, name="output"
         )(x)
         return nn.leaky_relu(x).astype(jnp.float32)
