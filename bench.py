@@ -212,8 +212,13 @@ def time_decode(model, variables, model_config, frames, family, n_chain=32):
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    deform = "--no-deform" not in sys.argv
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # Default: the deployable configuration (plain-conv IDA, the custom
+    # backbone's aggregation style and SURVEY §7's accuracy-checked
+    # fallback).  The DCN path stays available with --deform for parity
+    # work; its shift-window formulation is exact for |offset| <= 3 but
+    # VPU-bound (~40 fps vs ~1500 for plain conv at this size).
+    deform = "--deform" in sys.argv
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (batch_size, BENCH_H, BENCH_W, 3),
