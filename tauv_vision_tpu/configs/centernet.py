@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 import pathlib
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 from typing import Dict, Optional, Tuple
 
 

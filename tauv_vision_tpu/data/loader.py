@@ -10,7 +10,6 @@ parallelism").
 
 from __future__ import annotations
 
-import itertools
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor

@@ -23,9 +23,8 @@ from __future__ import annotations
 
 import asyncio
 import glob
-import pathlib
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 Vec3 = Tuple[float, float, float]
 

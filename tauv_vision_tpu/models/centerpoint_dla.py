@@ -19,7 +19,7 @@ dataflow functionally.  NHWC throughout.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import flax.linen as nn
 import jax

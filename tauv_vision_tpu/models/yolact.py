@@ -18,7 +18,6 @@ from typing import Tuple
 import flax.linen as nn
 import flax.struct
 import jax.numpy as jnp
-import numpy as np
 
 from tauv_vision_tpu.configs.yolact import YolactModelConfig
 from tauv_vision_tpu.models.fpn import FeaturePyramid

@@ -10,7 +10,7 @@ working version sharing the framework's ResNet-18 trunk / FPN / protonet.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import flax.struct

@@ -13,7 +13,7 @@ matching the reference's gate (decode.py:531).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

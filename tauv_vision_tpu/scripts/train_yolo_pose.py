@@ -28,7 +28,6 @@ from tauv_vision_tpu.data.falling_things import (
 )
 from tauv_vision_tpu.data.loader import BatchLoader
 from tauv_vision_tpu.models.yolo_pose import YoloPose
-from tauv_vision_tpu.ops.image import resize_nearest
 from tauv_vision_tpu.train import TrainState, warmup_adam
 from tauv_vision_tpu.train.checkpoint import CheckpointManager
 from tauv_vision_tpu.train.metrics import JsonlWriter, MultiWriter, StdoutWriter

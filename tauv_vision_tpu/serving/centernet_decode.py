@@ -20,7 +20,7 @@ Deliberate bug-fixes vs the reference (SURVEY.md §7):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.struct
 import jax

@@ -12,7 +12,7 @@ Static shapes throughout; PnP is the pure-JAX LM solver.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.struct
 import jax

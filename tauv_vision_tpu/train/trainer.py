@@ -12,10 +12,9 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from typing import Any, Callable, Iterable, Optional
+from typing import Callable, Iterable, Optional
 
 import jax
-import numpy as np
 
 from tauv_vision_tpu.parallel.mesh import shard_batch
 from tauv_vision_tpu.train.checkpoint import CheckpointManager

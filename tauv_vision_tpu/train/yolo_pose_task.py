@@ -19,7 +19,7 @@ Differences from YOLACT's loss (which this shares structure with):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.struct
 import jax
