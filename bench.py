@@ -76,7 +76,10 @@ def build_centernet(deform: bool = True):
     pipeline = make_centernet_pipeline(
         model, model_config, n_detections=10, score_threshold=0.6,
     )
-    return pipeline, variables, model, model_config
+    raw = make_centernet_pipeline(
+        model, model_config, n_detections=10, score_threshold=0.6, jit=False,
+    )
+    return pipeline, variables, model, model_config, raw
 
 
 def build_yolact():
@@ -109,7 +112,11 @@ def build_yolact():
         model, model_config, top_k=20, iou_threshold=0.5,
         confidence_threshold=0.5,
     )
-    return pipeline, variables, model, model_config
+    raw = make_yolact_pipeline(
+        model, model_config, top_k=20, iou_threshold=0.5,
+        confidence_threshold=0.5, jit=False,
+    )
+    return pipeline, variables, model, model_config, raw
 
 
 def time_chained(pipeline, variables, frames, n_chain=8, n_reps=3):
@@ -211,6 +218,20 @@ def time_decode(model, variables, model_config, frames, family, n_chain=32):
     return max(t2 - t1, 1e-9) / n_chain
 
 
+def quantize_pipeline(raw_pipeline, variables, frames):
+    """Calibrate on a couple of frames (eager — the recorder must see
+    concrete activations, so the raw un-jitted pipeline is required) and
+    return the jitted int8-conv pipeline (serving/quantize.py)."""
+    from tauv_vision_tpu.serving.quantize import calibrate, quantized_call
+
+    cal = frames[:2]
+    scales = calibrate(lambda b: raw_pipeline(variables, b), [cal])
+    import jax
+    return jax.jit(
+        quantized_call(lambda b: raw_pipeline(variables, b), scales)
+    ), len(scales)
+
+
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     # Default: the deployable configuration (plain-conv IDA, the custom
@@ -229,11 +250,24 @@ def main():
 
     frames = jnp.asarray(frames)
 
-    cn_pipeline, cn_vars, cn_model, cn_cfg = build_centernet(deform=deform)
-    yl_pipeline, yl_vars, yl_model, yl_cfg = build_yolact()
+    cn_pipeline, cn_vars, cn_model, cn_cfg, cn_raw = build_centernet(
+        deform=deform
+    )
+    yl_pipeline, yl_vars, yl_model, yl_cfg, yl_raw = build_yolact()
 
-    cn_time = time_chained(cn_pipeline, cn_vars, frames)
-    yl_time = time_chained(yl_pipeline, yl_vars, frames)
+    int8 = "--int8" in sys.argv
+    if int8:
+        cn_q, n_cn = quantize_pipeline(cn_raw, cn_vars, frames)
+        yl_q, n_yl = quantize_pipeline(yl_raw, yl_vars, frames)
+        print(f"quantized convs: centernet={n_cn} yolact={n_yl}",
+              file=sys.stderr)
+        cn_timed = lambda v, f: cn_q(f)  # noqa: E731
+        yl_timed = lambda v, f: yl_q(f)  # noqa: E731
+    else:
+        cn_timed, yl_timed = cn_pipeline, yl_pipeline
+
+    cn_time = time_chained(cn_timed, cn_vars, frames)
+    yl_time = time_chained(yl_timed, yl_vars, frames)
 
     # Combined: every frame goes through both nets end-to-end.
     fps = batch_size / (cn_time + yl_time)
@@ -248,6 +282,7 @@ def main():
         "detail": {
             "batch_size": batch_size,
             "deform_conv": deform,
+            "int8": int8,
             "centernet_fps": round(batch_size / cn_time, 2),
             "yolact_fps": round(batch_size / yl_time, 2),
             "decode_p50_ms": round(decode_p50 * 1e3, 3),

@@ -45,10 +45,13 @@ def make_centernet_pipeline(
     n_detections: int = 10,
     score_threshold: float = 0.6,
     dtype=jnp.bfloat16,
+    jit: bool = True,
 ):
-    """Returns jitted ``(variables, img_uint8 [B, H, W, 3]) -> Detections``."""
+    """Returns jitted ``(variables, img_uint8 [B, H, W, 3]) -> Detections``.
 
-    @jax.jit
+    ``jit=False`` returns the raw traceable function (needed by the int8
+    calibration pass, which must observe concrete activations)."""
+
     def pipeline(variables, img_uint8) -> Detections:
         img = preprocess(
             img_uint8, (model_config.in_h, model_config.in_w),
@@ -57,7 +60,7 @@ def make_centernet_pipeline(
         prediction = model.apply(variables, img, train=False)
         return decode(prediction, model_config, n_detections, score_threshold)
 
-    return pipeline
+    return jax.jit(pipeline) if jit else pipeline
 
 
 def make_centernet_keypoint_pipeline(
@@ -99,10 +102,12 @@ def make_yolact_pipeline(
     confidence_threshold: float = 0.5,
     mask_hw: Optional[Tuple[int, int]] = None,
     dtype=jnp.bfloat16,
+    jit: bool = True,
 ):
-    """Returns jitted ``(variables, img_uint8) -> YolactDetections``."""
+    """Returns jitted ``(variables, img_uint8) -> YolactDetections``.
 
-    @jax.jit
+    ``jit=False`` returns the raw traceable function (for calibration)."""
+
     def pipeline(variables, img_uint8) -> YolactDetections:
         img = preprocess(
             img_uint8, (model_config.in_h, model_config.in_w),
@@ -114,7 +119,7 @@ def make_yolact_pipeline(
             confidence_threshold, mask_hw=mask_hw,
         )
 
-    return pipeline
+    return jax.jit(pipeline) if jit else pipeline
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

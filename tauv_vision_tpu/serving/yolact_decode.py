@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 from tauv_vision_tpu.configs.yolact import YolactModelConfig
@@ -38,8 +39,6 @@ def decode_yolact(
     mask_hw: Optional[Tuple[int, int]] = None,
     crop_masks: bool = True,
 ) -> YolactDetections:
-    import jax
-
     box = box_decode(
         prediction.box_encoding, prediction.anchor[None], config.box_variances
     )
