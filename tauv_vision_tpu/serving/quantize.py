@@ -32,8 +32,13 @@ def _conv_path(context) -> str:
     return "/".join(context.module.path)
 
 
+def _is_torch_conv_transpose(module) -> bool:
+    # Avoid a circular import; match by class name.
+    return type(module).__name__ == "TorchConvTranspose"
+
+
 def _should_quantize(module, x, min_in_channels: int) -> bool:
-    if not isinstance(module, nn.Conv):
+    if not (isinstance(module, nn.Conv) or _is_torch_conv_transpose(module)):
         return False
     if x.ndim != 4:
         return False
@@ -122,6 +127,40 @@ def _quantized_conv(module: nn.Conv, x: jnp.ndarray, act_scale: float):
     return out.astype(module.dtype or x.dtype)
 
 
+def _quantized_conv_transpose(module, x: jnp.ndarray, act_scale: float):
+    """int8 version of models.layers.TorchConvTranspose: dilate the
+    quantized input and correlate with the flipped quantized kernel."""
+    kernel = module.variables["params"]["kernel"].astype(jnp.float32)
+    w_absmax = jnp.max(jnp.abs(kernel.reshape(-1, kernel.shape[-1])), axis=0)
+    w_scale = jnp.maximum(w_absmax, 1e-6) / 127.0
+    q_kernel = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+
+    q_x = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / act_scale), -127, 127
+    ).astype(jnp.int8)
+
+    k, s, p, op = (
+        module.kernel_size, module.stride, module.padding,
+        module.output_padding,
+    )
+    pad_lo = k - 1 - p
+    pad_hi = k - 1 - p + op
+    flipped = jnp.flip(q_kernel, axis=(0, 1))
+    acc = jax.lax.conv_general_dilated(
+        q_x,
+        flipped,
+        window_strides=(1, 1),
+        padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+        lhs_dilation=(s, s),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (act_scale * w_scale)
+    if module.use_bias:
+        out = out + module.variables["params"]["bias"].astype(jnp.float32)
+    return out.astype(module.dtype or x.dtype)
+
+
 def quantized_call(
     apply_fn,
     scales: Dict[str, float],
@@ -145,6 +184,10 @@ def quantized_call(
         ):
             path = _conv_path(context)
             if path in scales:
+                if _is_torch_conv_transpose(context.module):
+                    return _quantized_conv_transpose(
+                        context.module, args[0], scales[path]
+                    )
                 return _quantized_conv(context.module, args[0], scales[path])
         return next_fn(*args, **kwargs)
 
