@@ -119,7 +119,7 @@ def build_yolact():
     return pipeline, variables, model, model_config, raw
 
 
-def time_chained(pipeline, variables, frames, n_chain=8, n_reps=3):
+def time_chained(pipeline, variables, frames, n_chain=6, n_reps=2):
     """Median per-invocation seconds via N-vs-2N chained scans."""
     import functools
 
@@ -160,7 +160,7 @@ def time_chained(pipeline, variables, frames, n_chain=8, n_reps=3):
     return max(t2 - t1, 1e-9) / n_chain
 
 
-def time_decode(model, variables, model_config, frames, family, n_chain=32):
+def time_decode(model, variables, model_config, frames, family, n_chain=16):
     """p50 decode-only latency via chained scans."""
     import jax
     import jax.numpy as jnp
@@ -207,7 +207,7 @@ def time_decode(model, variables, model_config, frames, family, n_chain=32):
     def run(n):
         float(chained(prediction, n))
         times = []
-        for _ in range(5):
+        for _ in range(3):
             t0 = time.perf_counter()
             float(chained(prediction, n))
             times.append(time.perf_counter() - t0)
