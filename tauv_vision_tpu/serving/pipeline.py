@@ -26,6 +26,7 @@ from tauv_vision_tpu.configs.yolact import YolactModelConfig
 from tauv_vision_tpu.models.centernet import Centernet
 from tauv_vision_tpu.models.yolact import Yolact
 from tauv_vision_tpu.ops.image import preprocess
+from tauv_vision_tpu.parallel.mesh import batch_sharding, replicated
 from tauv_vision_tpu.serving.centernet_decode import (
     Detections,
     KeypointDetections,
@@ -46,11 +47,15 @@ def make_centernet_pipeline(
     score_threshold: float = 0.6,
     dtype=jnp.bfloat16,
     jit: bool = True,
+    mesh=None,
 ):
     """Returns jitted ``(variables, img_uint8 [B, H, W, 3]) -> Detections``.
 
     ``jit=False`` returns the raw traceable function (needed by the int8
-    calibration pass, which must observe concrete activations)."""
+    calibration pass, which must observe concrete activations).
+    ``mesh`` enables data-parallel serving: the frame batch shards over
+    the mesh's data axis, params replicate, and the decoded tensors come
+    back batch-sharded."""
 
     def pipeline(variables, img_uint8) -> Detections:
         img = preprocess(
@@ -60,7 +65,15 @@ def make_centernet_pipeline(
         prediction = model.apply(variables, img, train=False)
         return decode(prediction, model_config, n_detections, score_threshold)
 
-    return jax.jit(pipeline) if jit else pipeline
+    if not jit:
+        return pipeline
+    if mesh is not None:
+        return jax.jit(
+            pipeline,
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=batch_sharding(mesh),
+        )
+    return jax.jit(pipeline)
 
 
 def make_centernet_keypoint_pipeline(
@@ -103,10 +116,13 @@ def make_yolact_pipeline(
     mask_hw: Optional[Tuple[int, int]] = None,
     dtype=jnp.bfloat16,
     jit: bool = True,
+    mesh=None,
 ):
     """Returns jitted ``(variables, img_uint8) -> YolactDetections``.
 
-    ``jit=False`` returns the raw traceable function (for calibration)."""
+    ``jit=False`` returns the raw traceable function (for calibration);
+    ``mesh`` enables data-parallel serving (batch sharded, params
+    replicated)."""
 
     def pipeline(variables, img_uint8) -> YolactDetections:
         img = preprocess(
@@ -119,7 +135,15 @@ def make_yolact_pipeline(
             confidence_threshold, mask_hw=mask_hw,
         )
 
-    return jax.jit(pipeline) if jit else pipeline
+    if not jit:
+        return pipeline
+    if mesh is not None:
+        return jax.jit(
+            pipeline,
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=batch_sharding(mesh),
+        )
+    return jax.jit(pipeline)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
