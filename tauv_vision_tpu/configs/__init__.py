@@ -12,6 +12,7 @@ from tauv_vision_tpu.configs.yolact import (
     YolactModelConfig,
     YolactTrainConfig,
 )
+from tauv_vision_tpu.configs.yolo_pose import YoloPoseModelConfig
 
 __all__ = [
     "AngleConfig",
@@ -24,4 +25,5 @@ __all__ = [
     "ClassConfigSet",
     "YolactModelConfig",
     "YolactTrainConfig",
+    "YoloPoseModelConfig",
 ]
