@@ -28,6 +28,21 @@ BASELINE_FPS = 1000.0
 BENCH_H, BENCH_W = 480, 640
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the remote compiler on this image
+    is slow and queued, and bench graphs are large; caching makes repeat
+    runs (driver, CI) start in seconds instead of tens of minutes."""
+    import pathlib
+
+    import jax
+
+    cache = pathlib.Path(__file__).parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+
 def build_centernet(deform: bool = True):
     import jax
     import jax.numpy as jnp
@@ -233,6 +248,7 @@ def quantize_pipeline(raw_pipeline, variables, frames):
 
 
 def main():
+    _enable_compilation_cache()
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     # Default: the deployable configuration (plain-conv IDA, the custom
     # backbone's aggregation style and SURVEY §7's accuracy-checked
