@@ -32,3 +32,12 @@ if any(d.platform != "cpu" for d in jax.devices()):  # pragma: no cover
     jax.extend.backend.clear_backends()
 
 assert all(d.platform == "cpu" for d in jax.devices())
+
+# Persistent compilation cache: the host has one CPU core and XLA
+# compiles dominate suite time; cached runs are several times faster.
+import pathlib  # noqa: E402
+
+_cache = pathlib.Path(__file__).parent.parent / ".jax_cache"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
