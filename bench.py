@@ -233,15 +233,31 @@ def time_decode(model, variables, model_config, frames, family, n_chain=16):
     return max(t2 - t1, 1e-9) / n_chain
 
 
-def quantize_pipeline(raw_pipeline, variables, frames):
+def quantize_pipeline(raw_pipeline, variables, frames, cache_key):
     """Calibrate on a couple of frames (eager — the recorder must see
     concrete activations, so the raw un-jitted pipeline is required) and
-    return the jitted int8-conv pipeline (serving/quantize.py)."""
+    return the jitted int8-conv pipeline (serving/quantize.py).
+
+    Calibration scales are cached on disk: the bench models initialize
+    from a fixed seed and calibrate on fixed frames, so the scales are
+    deterministic and the eager pass (minutes over this image's relay)
+    only needs to run once."""
+    import json
+    import pathlib
+
+    import jax
+
     from tauv_vision_tpu.serving.quantize import calibrate, quantized_call
 
-    cal = frames[:2]
-    scales = calibrate(lambda b: raw_pipeline(variables, b), [cal])
-    import jax
+    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    scales_path = cache_dir / f"calibration_{cache_key}.json"
+    if scales_path.exists():
+        scales = json.loads(scales_path.read_text())
+    else:
+        cal = frames[:2]
+        scales = calibrate(lambda b: raw_pipeline(variables, b), [cal])
+        scales_path.write_text(json.dumps(scales))
     return jax.jit(
         quantized_call(lambda b: raw_pipeline(variables, b), scales)
     ), len(scales)
@@ -277,8 +293,12 @@ def main():
     # path (627 fps; the one the 1e-3 reference-parity tests cover).
     int8 = "--bf16" not in sys.argv
     if int8:
-        cn_q, n_cn = quantize_pipeline(cn_raw, cn_vars, frames)
-        yl_q, n_yl = quantize_pipeline(yl_raw, yl_vars, frames)
+        cn_q, n_cn = quantize_pipeline(
+            cn_raw, cn_vars, frames, f"centernet_b{batch_size}"
+        )
+        yl_q, n_yl = quantize_pipeline(
+            yl_raw, yl_vars, frames, f"yolact_b{batch_size}"
+        )
         print(f"quantized convs: centernet={n_cn} yolact={n_yl}",
               file=sys.stderr)
         cn_timed = lambda v, f: cn_q(f)  # noqa: E731
