@@ -201,3 +201,28 @@ def plot_prediction_np(
             ).astype(vis.dtype)
 
     return vis
+
+
+def draw_frame_axes(
+    img: np.ndarray,
+    rotation: np.ndarray,
+    translation: np.ndarray,
+    intrinsics: np.ndarray,
+    length: float = 0.1,
+    thickness: int = 3,
+) -> np.ndarray:
+    """Draw a PnP pose as RGB axes on the image
+    (evaluate_keypoints.py:126-137's cv2.drawFrameAxes usage).
+
+    rotation: [3, 3]; translation: [3]; intrinsics: [3, 3].
+    """
+    rvec, _ = cv2.Rodrigues(np.asarray(rotation, np.float64))
+    return cv2.drawFrameAxes(
+        np.ascontiguousarray(img).copy(),
+        np.asarray(intrinsics, np.float64)[:, :3],
+        np.zeros(4),
+        rvec,
+        np.asarray(translation, np.float64).reshape(3, 1),
+        length,
+        thickness,
+    )
