@@ -503,3 +503,105 @@ class CenterpointDLA34(nn.Module):
             yaw_offset=yaw_offset,
             depth=depth,
         )
+
+
+def load_dla34_state_dict(state_dict) -> dict:
+    """Convert a torch DLA-34 trunk checkpoint (the reference's
+    model-zoo ``dla34`` naming, centerpoint_dla.py:224-315) into
+    (params, batch_stats) pytrees for :class:`DLATrunk`.
+
+    Torch -> flax name mapping:
+      base_layer.0/.1          -> base_conv / base_bn
+      level{0,1}.{2i}/{2i+1}   -> level{0,1}_conv{i} / _bn{i}
+      level{2..5}.<tree path>  -> level{2..5}/<tree path> with
+        root.conv/root.bn      -> root/conv, root/bn
+        project.0/.1           -> project_conv / project_bn
+        conv1/bn1/conv2/bn2    -> unchanged (BasicBlock)
+    The classifier head (``fc``) is dropped.
+    """
+    import numpy as _np
+
+    def arr(value):
+        value = (
+            value.detach().cpu().numpy() if hasattr(value, "detach")
+            else _np.asarray(value)
+        )
+        return value.astype(_np.float32)
+
+    params: dict = {}
+    stats: dict = {}
+
+    def ensure(tree, path):
+        node = tree
+        for key in path:
+            node = node.setdefault(key, {})
+        return node
+
+    bn_parts: dict = {}
+
+    def put_bn_part(path, stat, value):
+        bn_parts.setdefault(tuple(path), {})[stat] = arr(value)
+
+    for key, value in state_dict.items():
+        tokens = key.split(".")
+        if tokens[0] == "fc":
+            continue
+
+        if tokens[0] == "base_layer":
+            dst = ["base_conv"] if tokens[1] == "0" else ["base_bn"]
+            rest = tokens[2:]
+        elif tokens[0] in ("level0", "level1"):
+            idx = int(tokens[1])
+            kind = "conv" if idx % 2 == 0 else "bn"
+            dst = [f"{tokens[0]}_{kind}{idx // 2}"]
+            rest = tokens[2:]
+        else:
+            dst = [tokens[0]]
+            rest = tokens[1:]
+            out = []
+            i = 0
+            while i < len(rest) - 1:
+                tok = rest[i]
+                if tok == "root":
+                    out.extend(["root", rest[i + 1]])
+                    i += 2
+                elif tok == "project":
+                    out.append(
+                        "project_conv" if rest[i + 1] == "0" else "project_bn"
+                    )
+                    i += 2
+                else:
+                    out.append(tok)
+                    i += 1
+            dst = dst + out
+            rest = rest[i:]
+
+        stat = rest[-1]
+        if stat == "weight" and (
+            "bn" in dst[-1] or dst[-1] in ("bn", "bn1", "bn2")
+        ):
+            put_bn_part(dst, "scale", value)
+        elif stat == "weight":
+            node = ensure(params, dst[:-1])
+            node[dst[-1]] = {
+                "kernel": jnp.asarray(_np.transpose(arr(value), (2, 3, 1, 0)))
+            }
+        elif stat == "bias":
+            put_bn_part(dst, "bias", value)
+        elif stat == "running_mean":
+            put_bn_part(dst, "mean", value)
+        elif stat == "running_var":
+            put_bn_part(dst, "var", value)
+        # num_batches_tracked: dropped.
+
+    for path, parts in bn_parts.items():
+        ensure(params, list(path)[:-1])[path[-1]] = {
+            "scale": jnp.asarray(parts["scale"]),
+            "bias": jnp.asarray(parts["bias"]),
+        }
+        ensure(stats, list(path)[:-1])[path[-1]] = {
+            "mean": jnp.asarray(parts["mean"]),
+            "var": jnp.asarray(parts["var"]),
+        }
+
+    return {"params": params, "batch_stats": stats}
