@@ -54,6 +54,11 @@ class YoloPoseModelConfig:
     img_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     img_stddev: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
+    # 18/34 (BasicBlock) or 50/101 (Bottleneck) — the stale reference
+    # backbone declared ResNet-101 with ResNet-18 tap depths; here both
+    # are real options.
+    backbone_depth: int = 18
+
     def __post_init__(self):
         object.__setattr__(
             self, "pointnet_layers",

@@ -191,3 +191,104 @@ def resnet18_feature_shapes(in_h: int, in_w: int) -> List[Tuple[int, int]]:
     s4 = halve(s3[0]), halve(s3[1])                   # layer3: stride 16
     s5 = halve(s4[0]), halve(s4[1])                   # layer4: stride 32
     return [s3, s4, s5]
+
+
+class BottleneckBlock(nn.Module):
+    """torchvision ResNet Bottleneck (1x1 reduce, 3x3, 1x1 expand x4)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, dtype=jnp.float32, name=name,
+        )
+        out_features = self.planes * 4
+
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        out = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=1, use_bias=False, dtype=self.dtype, name="conv2",
+        )(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(out_features, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv3")(out)
+        pre_residual = bn("bn3")(out)
+
+        if self.downsample:
+            identity = nn.Conv(
+                out_features, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            identity = bn("downsample_bn")(identity)
+
+        return nn.relu(pre_residual + identity), pre_residual
+
+
+RESNET_LAYER_COUNTS = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+}
+
+
+class ResnetFeatures(nn.Module):
+    """General ResNet trunk returning the layer2/3/4 taps (the final
+    block's pre-residual bn output, like the reference's feature
+    extractor).  depth in {18, 34} builds BasicBlocks (tap depths
+    128/256/512); {50, 101} builds Bottlenecks (512/1024/2048) — the
+    real ResNet-101 the stale yolo_pose backbone intended
+    (yolo_pose/model/backbone.py, SURVEY.md §2.3)."""
+
+    depth: int = 50
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def tap_depths(self):
+        if self.depth in (18, 34):
+            return (128, 256, 512)
+        return (512, 1024, 2048)
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray, train: bool = False):
+        counts = RESNET_LAYER_COUNTS[self.depth]
+        bottleneck = self.depth >= 50
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(img)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, dtype=jnp.float32, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        taps = []
+        planes = (64, 128, 256, 512)
+        for layer_i, (p, count) in enumerate(zip(planes, counts), start=1):
+            for block_i in range(count):
+                stride = 2 if (block_i == 0 and layer_i > 1) else 1
+                if bottleneck:
+                    downsample = block_i == 0  # ch change on every layer 1st
+                    x, tap = BottleneckBlock(
+                        p, stride, downsample, dtype=self.dtype,
+                        name=f"layer{layer_i}_{block_i}",
+                    )(x, train=train)
+                else:
+                    downsample = block_i == 0 and layer_i > 1
+                    x, tap = BasicBlock(
+                        p, stride, downsample, dtype=self.dtype,
+                        name=f"layer{layer_i}_{block_i}",
+                    )(x, train=train)
+            if layer_i >= 2:
+                taps.append(tap.astype(jnp.float32))
+
+        return tuple(taps)

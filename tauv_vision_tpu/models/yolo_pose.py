@@ -21,7 +21,7 @@ from tauv_vision_tpu.models.fpn import FeaturePyramid
 from tauv_vision_tpu.models.pointnet import Pointnet
 from tauv_vision_tpu.models.prediction_head import ExtraStage
 from tauv_vision_tpu.models.protonet import Protonet
-from tauv_vision_tpu.models.resnet import Resnet18Features
+from tauv_vision_tpu.models.resnet import ResnetFeatures
 from tauv_vision_tpu.ops.anchors import get_all_anchors
 
 
@@ -103,9 +103,9 @@ class YoloPose(nn.Module):
     def __call__(self, img: jnp.ndarray, train: bool = False) -> YoloPosePrediction:
         cfg = self.config
 
-        backbone_outputs = Resnet18Features(dtype=self.dtype, name="backbone")(
-            img, train=train
-        )
+        backbone_outputs = ResnetFeatures(
+            depth=cfg.backbone_depth, dtype=self.dtype, name="backbone"
+        )(img, train=train)
         fpn_outputs = FeaturePyramid(
             feature_depth=cfg.feature_depth,
             n_downsample_layers=cfg.n_fpn_downsample_layers,

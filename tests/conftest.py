@@ -33,11 +33,9 @@ if any(d.platform != "cpu" for d in jax.devices()):  # pragma: no cover
 
 assert all(d.platform == "cpu" for d in jax.devices())
 
-# Persistent compilation cache: the host has one CPU core and XLA
-# compiles dominate suite time; cached runs are several times faster.
-import pathlib  # noqa: E402
-
-_cache = pathlib.Path(__file__).parent.parent / ".jax_cache"
-_cache.mkdir(exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", str(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compilation cache here — XLA:CPU AOT cache entries
+# record the compiling machine's CPU features and loading them on a host
+# with different features warns "could lead to SIGILL" (observed when
+# this image's remote compile service targets a different CPU).  The
+# cache stays enabled for the TPU paths (bench, __graft_entry__), where
+# the artifact targets the TPU rather than the host.
