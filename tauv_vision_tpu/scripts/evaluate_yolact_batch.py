@@ -37,6 +37,9 @@ def main(argv=None):
     parser.add_argument("--iou-threshold", type=float, default=0.5)
     parser.add_argument("--confidence-threshold", type=float, default=0.5)
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--int8", action="store_true",
+                        help="serve with int8 post-training quantization "
+                             "(calibrates on the first batch)")
     args = parser.parse_args(argv)
 
     ckpt_dir = pathlib.Path(args.checkpoint).expanduser()
@@ -77,6 +80,28 @@ def main(argv=None):
         p for p in images_dir.iterdir()
         if p.suffix.lower() in (".png", ".jpg", ".jpeg")
     )
+
+    if args.int8 and paths:
+        from tauv_vision_tpu.serving.quantize import calibrate, quantized_call
+
+        raw = make_yolact_pipeline(
+            model, model_config, top_k=args.top_k,
+            iou_threshold=args.iou_threshold,
+            confidence_threshold=args.confidence_threshold, jit=False,
+        )
+        cal_frames = np.stack(
+            [
+                np.asarray(Image.open(p).convert("RGB"))
+                for p in paths[: min(2, len(paths))]
+            ]
+        )
+        scales = calibrate(
+            lambda b: raw(inference_variables, b), [jnp.asarray(cal_frames)]
+        )
+        quantized = jax.jit(
+            quantized_call(lambda b: raw(inference_variables, b), scales)
+        )
+        pipeline = lambda v, frames: quantized(frames)  # noqa: E731
 
     for start in range(0, len(paths), args.batch_size):
         batch_paths = paths[start: start + args.batch_size]
