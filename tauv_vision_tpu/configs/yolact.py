@@ -127,9 +127,11 @@ class YolactTrainConfig:
     n_workers: int = 0
 
     # TPU additions: static padded truth sizes + positive-anchor cap for
-    # the vectorized mask loss, and the compute dtype.
+    # the vectorized mask loss, and the compute dtype.  A None cap makes
+    # the mask loss EXACT (all anchors, chunked); an int cap is cheaper
+    # and reports the clipped-positive count per step.
     max_objects: int = 16
-    max_positive_anchors: int = 64
+    max_positive_anchors: Optional[int] = 64
     compute_dtype: str = "bfloat16"
 
     def __post_init__(self):

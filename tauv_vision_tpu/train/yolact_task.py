@@ -13,9 +13,13 @@ Parity target: ``yolact/model/loss.py:8-124``:
   normalized by the resized truth-mask area.
 
 TPU-first deviations (documented, config-controlled):
-- mask loss runs over at most ``max_positive_anchors`` positives per
-  sample (IoU-sorted); the reference loops over all of them.  The cap is
-  static so shapes stay fixed.
+- mask loss: with ``max_positive_anchors=None`` it is EXACT — every
+  anchor's mask loss is computed in static-shape chunks (``lax.map``)
+  and masked by positivity, matching the reference's dynamic loop over
+  all positives (``yolact/model/loss.py:75-120``).  With an integer cap
+  it runs over the IoU-top-k positives only (cheaper; static shapes) and
+  reports ``mask_clipped`` — the number of positives dropped by the cap
+  — so a binding cap is observable instead of silent.
 - the per-object instance masks are resized once per object (max_objects
   of them) and gathered per anchor, instead of re-resizing per positive
   anchor.
@@ -55,6 +59,9 @@ class YolactLosses:
     classification: jnp.ndarray
     box: jnp.ndarray
     mask: jnp.ndarray
+    # positives dropped by the max_positive_anchors cap this step (0 when
+    # the cap is None/not binding) — surfaced so a binding cap is loud.
+    mask_clipped: jnp.ndarray = flax.struct.field(default=0.0)
 
 
 def _rank_desc(scores: jnp.ndarray) -> jnp.ndarray:
@@ -132,6 +139,29 @@ def yolact_loss(
     n_objects = truth.box.shape[1]
     k_cap = train_config.max_positive_anchors
 
+    def anchor_set_loss(
+        proto, coeff_k, obj_k, sel_k, inst_resized, inst_area, valid_resized,
+        boxes,
+    ):
+        """Summed cropped/normalized mask BCE over one static anchor set
+        (coeff_k: [K, P], obj_k/sel_k: [K])."""
+        logits = jnp.einsum("kp,hwp->khw", coeff_k, proto)
+        pred_mask = jnp.clip(jax.nn.sigmoid(logits), 1e-4, 1 - 1e-4)
+
+        truth_mask = inst_resized[obj_k]             # [K, h, w]
+        truth_area = inst_area[obj_k]                # [K]
+
+        bce = binary_cross_entropy(pred_mask, truth_mask)
+        crop = box_to_mask(boxes[obj_k], (proto_h, proto_w)) * valid_resized
+
+        per_anchor = (crop * bce).sum(axis=(1, 2))
+        per_anchor = jnp.where(
+            (truth_area > 0) & sel_k,
+            per_anchor / jnp.maximum(truth_area, 1e-6),
+            0.0,
+        )
+        return per_anchor.sum()
+
     def sample_mask_loss(
         proto, coeffs, pos, miou, midx, boxes, seg, img_valid
     ):
@@ -146,35 +176,46 @@ def yolact_loss(
             img_valid.astype(jnp.float32)[None], (proto_h, proto_w)
         )[0]
 
-        # Top-k positive anchors by match IoU (static cap).
+        if k_cap is None:
+            # EXACT: every anchor, in static chunks, masked by positivity
+            # (reference semantics: loss over all positives).
+            chunk = min(256, a)
+            pad = (-a) % chunk
+            coeffs_p = jnp.pad(coeffs, ((0, pad), (0, 0)))
+            sel_p = jnp.pad(pos, (0, pad))
+            obj_p = jnp.pad(midx, (0, pad))
+            p_dim = coeffs.shape[-1]
+
+            def chunk_fn(args):
+                c, s, o = args
+                return anchor_set_loss(
+                    proto, c, o, s, inst_resized, inst_area, valid_resized,
+                    boxes,
+                )
+
+            sums = jax.lax.map(chunk_fn, (
+                coeffs_p.reshape(-1, chunk, p_dim),
+                sel_p.reshape(-1, chunk),
+                obj_p.reshape(-1, chunk),
+            ))
+            return sums.sum(), jnp.zeros((), jnp.int32)
+
+        # CAPPED: top-k positive anchors by match IoU (static cap);
+        # report how many positives the cap dropped.
         pos_scores = jnp.where(pos, miou, -1.0)
         top_scores, top_anchor = jax.lax.top_k(pos_scores, k_cap)
         sel = top_scores > 0.0  # really positive
 
-        sel_coeff = coeffs[top_anchor]               # [K, P]
-        sel_obj = midx[top_anchor]                   # [K]
-
-        logits = jnp.einsum(
-            "kp,hwp->khw", sel_coeff, proto,
+        loss_sum = anchor_set_loss(
+            proto, coeffs[top_anchor], midx[top_anchor], sel,
+            inst_resized, inst_area, valid_resized, boxes,
         )
-        pred_mask = jnp.clip(jax.nn.sigmoid(logits), 1e-4)
-
-        truth_mask = inst_resized[sel_obj]           # [K, h, w]
-        truth_area = inst_area[sel_obj]              # [K]
-
-        bce = binary_cross_entropy(
-            jnp.clip(pred_mask, 1e-4, 1 - 1e-4), truth_mask
+        clipped = jnp.maximum(
+            pos.sum().astype(jnp.int32) - jnp.int32(k_cap), 0
         )
+        return loss_sum, clipped
 
-        crop = box_to_mask(boxes[sel_obj], (proto_h, proto_w)) * valid_resized
-
-        per_anchor = (crop * bce).sum(axis=(1, 2))
-        per_anchor = jnp.where(
-            (truth_area > 0) & sel, per_anchor / jnp.maximum(truth_area, 1e-6), 0.0
-        )
-        return per_anchor.sum()
-
-    mask_sums = jax.vmap(sample_mask_loss)(
+    mask_sums, clipped_counts = jax.vmap(sample_mask_loss)(
         prototype, mask_coeff, positive, match_iou, match_index,
         truth.box, truth.seg_map, truth.img_valid,
     )
@@ -182,4 +223,7 @@ def yolact_loss(
     l_mask = jnp.where(n_pos > 0, mask_sum / jnp.maximum(n_pos_f, 1.0), mask_sum)
 
     total = l_cls + l_box + l_mask
-    return YolactLosses(total=total, classification=l_cls, box=l_box, mask=l_mask)
+    return YolactLosses(
+        total=total, classification=l_cls, box=l_box, mask=l_mask,
+        mask_clipped=clipped_counts.sum(),
+    )

@@ -239,6 +239,127 @@ def test_yolact_loss_parity_with_reference():
     )
 
 
+def test_yolact_loss_parity_crowded_scene_exact():
+    """>64 positive anchors (the round-1 cap) — the exact mask-loss mode
+    (max_positive_anchors=None) must match the reference's loop over ALL
+    positives, and the capped mode must report the clipped count."""
+    from tauv_vision.yolact.model.loss import loss as ref_loss
+
+    from tauv_vision_tpu.configs import YolactTrainConfig
+    from tauv_vision_tpu.models.yolact import YolactPrediction
+    from tauv_vision_tpu.ops.anchors import get_all_anchors
+    from tauv_vision_tpu.ops.boxes import iou_matrix
+    from tauv_vision_tpu.train.yolact_task import YolactTruth, yolact_loss
+
+    import dataclasses
+
+    # Loosen the match threshold and enlarge the anchor field (512 anchors
+    # at 128x192) so the 8-box scene yields >64 positives while leaving
+    # enough negatives for the reference's 3:1 OHEM top-k.
+    in_h, in_w = 128, 192
+    ref_cfg = dataclasses.replace(
+        _ref_yolact_config(), in_h=in_h, in_w=in_w,
+        iou_pos_threshold=0.3, iou_neg_threshold=0.25,
+    )
+    my_cfg = dataclasses.replace(
+        _my_yolact_config(), in_h=in_h, in_w=in_w,
+        iou_pos_threshold=0.3, iou_neg_threshold=0.25,
+    )
+
+    rng = np.random.default_rng(7)
+    anchors = get_all_anchors(in_h, in_w, 5, my_cfg.anchor_scales,
+                              my_cfg.anchor_aspect_ratios)
+    n = anchors.shape[0]
+    b, m, p = 1, 8, 4
+    proto_h, proto_w = 32, 48
+
+    classification = rng.normal(size=(b, n, 3)).astype(np.float32)
+    box_encoding = (rng.normal(size=(b, n, 4)) * 0.3).astype(np.float32)
+    mask_coeff = np.tanh(rng.normal(size=(b, n, p))).astype(np.float32)
+    prototype = rng.normal(size=(b, p, proto_h, proto_w)).astype(np.float32)
+
+    valid = np.ones((b, m), bool)
+    truth_cls = rng.integers(1, 3, size=(b, m)).astype(np.int64)
+    # A grid of medium boxes, each matching many anchors.
+    centers = np.stack(np.meshgrid(
+        np.linspace(0.25, 0.75, 2), np.linspace(0.15, 0.9, 4),
+    ), -1).reshape(1, m, 2).astype(np.float32)
+    sizes = np.full((b, m, 2), 0.2, np.float32)
+    truth_box = np.concatenate([centers, sizes], -1)
+
+    iou = np.asarray(iou_matrix(jnp.asarray(anchors[None]),
+                                jnp.asarray(truth_box)))
+    n_pos = int((iou.max(axis=2) >= ref_cfg.iou_pos_threshold).sum())
+    assert n_pos > 64, f"scene not crowded enough: {n_pos} positives"
+
+    seg = np.full((b, in_h, in_w), 255, np.uint8)
+    for bi in range(b):
+        for mi in range(m):
+            cy, cx, hh, ww = truth_box[bi, mi]
+            y0, y1 = int((cy - hh / 2) * in_h), int((cy + hh / 2) * in_h)
+            x0, x1 = int((cx - ww / 2) * in_w), int((cx + ww / 2) * in_w)
+            seg[bi, max(y0, 0):y1, max(x0, 0):x1] = mi
+    img_valid = seg != 254
+
+    ref_prediction = (
+        torch.from_numpy(classification),
+        torch.from_numpy(box_encoding),
+        torch.from_numpy(mask_coeff),
+        torch.from_numpy(anchors[None]),
+        torch.from_numpy(prototype),
+    )
+    ref_truth = (
+        torch.from_numpy(valid),
+        torch.from_numpy(truth_cls.astype(np.uint8)),
+        torch.from_numpy(truth_box),
+        torch.from_numpy(seg.astype(np.int64)),
+        torch.from_numpy(img_valid),
+    )
+    _, (ref_cls, ref_box, ref_mask) = ref_loss(
+        ref_prediction, ref_truth, ref_cfg
+    )
+
+    my_prediction = YolactPrediction(
+        classification=jnp.asarray(classification),
+        box_encoding=jnp.asarray(box_encoding),
+        mask_coeff=jnp.asarray(mask_coeff),
+        anchor=jnp.asarray(anchors),
+        mask_prototype=jnp.asarray(np.moveaxis(prototype, 1, -1)),
+    )
+    my_truth = YolactTruth(
+        valid=jnp.asarray(valid),
+        classification=jnp.asarray(truth_cls.astype(np.int32)),
+        box=jnp.asarray(truth_box),
+        seg_map=jnp.asarray(seg.astype(np.int32)),
+        img_valid=jnp.asarray(img_valid),
+    )
+
+    def train_cfg(cap):
+        return YolactTrainConfig(
+            lr=1e-3, momentum=0.9, weight_decay=0, grad_max_norm=1,
+            n_epochs=1, batch_size=b, epoch_n_batches=1,
+            max_objects=m, max_positive_anchors=cap,
+        )
+
+    exact = yolact_loss(my_prediction, my_truth, my_cfg, train_cfg(None))
+    np.testing.assert_allclose(
+        float(exact.classification), float(ref_cls), atol=1e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(exact.box), float(ref_box), atol=1e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(exact.mask), float(ref_mask), atol=2e-3, rtol=2e-3
+    )
+    assert int(exact.mask_clipped) == 0
+
+    capped = yolact_loss(my_prediction, my_truth, my_cfg, train_cfg(64))
+    assert int(capped.mask_clipped) == n_pos - 64
+    # The capped mask loss diverges on this scene — that's exactly why
+    # the clip count must be surfaced.
+    assert float(capped.mask) != float(exact.mask)
+
+
 def test_nms_parity_with_reference():
     from tauv_vision.yolact.model.nms import nms as ref_nms
 
