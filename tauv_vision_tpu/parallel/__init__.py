@@ -3,9 +3,12 @@ from tauv_vision_tpu.parallel.mesh import (
     MODEL_AXIS,
     batch_sharding,
     create_mesh,
+    has_model_axis,
     replicate,
     replicated,
     shard_batch,
+    small_map_guard,
+    spatial_sharding,
 )
 
 __all__ = [
@@ -13,7 +16,10 @@ __all__ = [
     "MODEL_AXIS",
     "batch_sharding",
     "create_mesh",
+    "has_model_axis",
     "replicate",
     "replicated",
     "shard_batch",
+    "small_map_guard",
+    "spatial_sharding",
 ]

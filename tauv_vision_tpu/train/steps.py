@@ -22,7 +22,13 @@ from tauv_vision_tpu.configs.centernet import (
 from tauv_vision_tpu.configs.yolact import YolactModelConfig, YolactTrainConfig
 from tauv_vision_tpu.models.centernet import Centernet
 from tauv_vision_tpu.models.yolact import Yolact
-from tauv_vision_tpu.parallel.mesh import batch_sharding, replicated
+from tauv_vision_tpu.parallel.mesh import (
+    batch_sharding,
+    has_model_axis,
+    replicated,
+    small_map_guard,
+    spatial_sharding,
+)
 from tauv_vision_tpu.train.centernet_task import CenternetTruth, centernet_loss
 from tauv_vision_tpu.train.state import TrainState
 from tauv_vision_tpu.train.yolact_task import YolactTruth, yolact_loss
@@ -33,7 +39,12 @@ def _maybe_shard(jit_kwargs: dict, mesh: Optional[Mesh]) -> dict:
         return jit_kwargs
     rep = replicated(mesh)
     data = batch_sharding(mesh)
-    jit_kwargs["in_shardings"] = (rep, data, data)
+    # On a 2-D (data, model) mesh the image is additionally split along
+    # width over the model axis (spatial partitioning); GSPMD propagates
+    # the split through the convs with halo exchanges.  Truth tensors
+    # stay batch-sharded: the losses reduce over space anyway.
+    img = spatial_sharding(mesh) if has_model_axis(mesh) else data
+    jit_kwargs["in_shardings"] = (rep, img, data)
     jit_kwargs["out_shardings"] = (rep, rep)
     return jit_kwargs
 
@@ -49,9 +60,10 @@ def make_centernet_train_step(
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        prediction, mutated = model.apply(
-            variables, img, train=True, mutable=["batch_stats"]
-        )
+        with small_map_guard(mesh):
+            prediction, mutated = model.apply(
+                variables, img, train=True, mutable=["batch_stats"]
+            )
         losses = centernet_loss(
             prediction, truth, model_config, train_config, object_config
         )
@@ -81,15 +93,17 @@ def make_centernet_eval_step(
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
-        prediction = model.apply(variables, img, train=False)
+        with small_map_guard(mesh):
+            prediction = model.apply(variables, img, train=False)
         return centernet_loss(
             prediction, truth, model_config, train_config, object_config
         )
 
     kwargs = {}
     if mesh is not None:
+        img = spatial_sharding(mesh) if has_model_axis(mesh) else batch_sharding(mesh)
         kwargs["in_shardings"] = (
-            replicated(mesh), batch_sharding(mesh), batch_sharding(mesh)
+            replicated(mesh), img, batch_sharding(mesh)
         )
         kwargs["out_shardings"] = replicated(mesh)
     return jax.jit(step, **kwargs)
@@ -105,9 +119,10 @@ def make_yolact_train_step(
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        prediction, mutated = model.apply(
-            variables, img, train=True, mutable=["batch_stats"]
-        )
+        with small_map_guard(mesh):
+            prediction, mutated = model.apply(
+                variables, img, train=True, mutable=["batch_stats"]
+            )
         losses = yolact_loss(prediction, truth, model_config, train_config)
         return losses.total, (losses, mutated.get("batch_stats"))
 
@@ -134,13 +149,15 @@ def make_yolact_eval_step(
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
-        prediction = model.apply(variables, img, train=False)
+        with small_map_guard(mesh):
+            prediction = model.apply(variables, img, train=False)
         return yolact_loss(prediction, truth, model_config, train_config)
 
     kwargs = {}
     if mesh is not None:
+        img = spatial_sharding(mesh) if has_model_axis(mesh) else batch_sharding(mesh)
         kwargs["in_shardings"] = (
-            replicated(mesh), batch_sharding(mesh), batch_sharding(mesh)
+            replicated(mesh), img, batch_sharding(mesh)
         )
         kwargs["out_shardings"] = replicated(mesh)
     return jax.jit(step, **kwargs)

@@ -48,8 +48,21 @@ def reference_path():
         sys.modules["torchvision.models"] = models
     if "spatialmath" not in sys.modules:
         sm = types.ModuleType("spatialmath")
-        sm.SE3 = object
-        sm.SO3 = object
+
+        class _SO3:
+            def __init__(self, rotation):
+                self.R = np.asarray(rotation, np.float64)
+
+        class _SE3:
+            @classmethod
+            def Rt(cls, rotation, translation):
+                obj = cls.__new__(cls)
+                obj.R = rotation.R if isinstance(rotation, _SO3) else np.asarray(rotation)
+                obj.t = np.asarray(translation, np.float64).reshape(3)
+                return obj
+
+        sm.SE3 = _SE3
+        sm.SO3 = _SO3
         sys.modules["spatialmath"] = sm
     if "cv2" not in sys.modules:
         import cv2  # noqa: F401
@@ -455,6 +468,262 @@ def test_centernet_decode_parity_with_reference():
             np.testing.assert_allclose(
                 float(mine.w[bi, di]), float(ref_det.w), atol=1e-3
             )
+
+
+def test_centernet_keypoint_decode_parity_with_reference():
+    """The full keypoint decode chain — keypoint peak extraction, greedy
+    affinity matching, PnP gating — on identical prediction maps, vs the
+    reference's own ``decode_keypoints`` (decode.py:51-176).
+
+    Documented deviations exercised here:
+    - poses: the reference assigns the solved pose to the stale
+      ``match_detection`` loop variable (decode.py:172), so at most ONE
+      reference detection carries a pose even when several solve; we
+      therefore compare OUR pose per detection against ``cv2.solvePnP``
+      run directly on the reference's matched keypoint sets.
+    - offsets are zero in this scene because the reference keypoint path
+      ignores the offset head (decode.py:88-89) while its plain decode
+      (and ours) applies it.
+    """
+    import cv2
+    from tauv_vision.centernet.model import decode as ref_decode
+    from tauv_vision.centernet.model.config import (
+        AngleConfig as RefAngleConfig,
+        ObjectConfig as RefObjectConfig,
+        ObjectConfigSet as RefObjectConfigSet,
+    )
+
+    from tauv_vision_tpu.configs import CenternetModelConfig
+    from tauv_vision_tpu.configs.centernet import (
+        AngleConfig, ObjectConfig, ObjectConfigSet,
+    )
+    from tauv_vision_tpu.models.centernet import Prediction as MyPrediction
+    from tauv_vision_tpu.serving.centernet_decode import (
+        decode_keypoints as my_decode_keypoints,
+    )
+
+    in_h, in_w, ratio = 96, 128, 4
+    out_h, out_w = in_h // ratio, in_w // ratio
+    f = 100.0
+    projection = np.array(
+        [[f, 0, in_w / 2], [0, f, in_h / 2], [0, 0, 1]], np.float64
+    )
+
+    # Object-frame keypoints: the 8 corners of a box.
+    kp_local = np.array(
+        [(sx, sy, sz) for sx in (-0.3, 0.3) for sy in (-0.25, 0.25)
+         for sz in (-0.2, 0.2)], np.float64,
+    )
+
+    # Three class-0 objects; the third has only 5 visible keypoints so its
+    # PnP must be gated out (reference: < 6 -> skip, decode.py:146).
+    objects = [
+        {"t": [-0.3, -0.1, 2.5], "rvec": [0.1, -0.2, 0.05],
+         "slots": list(range(8)), "logit": 3.0, "kp_logit": 2.0},
+        {"t": [0.5, 0.25, 3.0], "rvec": [-0.15, 0.1, 0.2],
+         "slots": list(range(8)), "logit": 2.5, "kp_logit": 1.5},
+        {"t": [0.05, 0.4, 2.2], "rvec": [0.05, 0.05, -0.1],
+         "slots": list(range(5)), "logit": 2.2, "kp_logit": 1.0},
+    ]
+
+    def project(points):
+        uv = points[:, :2] * f / points[:, 2:3]
+        return uv + np.array([in_w / 2, in_h / 2])
+
+    bg = -6.0
+    b, n_labels, n_kp = 2, 2, 8
+    heatmap = np.full((b, n_labels, out_h, out_w), bg, np.float32)
+    kp_heatmap = np.full((b, n_kp, out_h, out_w), bg, np.float32)
+    kp_affinity = np.zeros((b, n_kp, 2, out_h, out_w), np.float32)
+    size = np.tile(
+        np.linspace(0.1, 0.3, out_w, dtype=np.float32)[None, None, :, None],
+        (b, out_h, 1, 2),
+    )
+    offset = np.zeros((b, out_h, out_w, 2), np.float32)
+
+    center_cells, kp_cells = [], {}
+    for obj in objects:
+        rot, _ = cv2.Rodrigues(np.asarray(obj["rvec"], np.float64))
+        t = np.asarray(obj["t"], np.float64)
+        cu, cv_ = project(t[None])[0]
+        ccell = (int(cv_ // ratio), int(cu // ratio))
+        center_cells.append(ccell)
+        heatmap[0, 0, ccell[0], ccell[1]] = obj["logit"]
+
+        kp_cam = (rot @ kp_local.T).T + t
+        kp_uv = project(kp_cam)
+        for slot in obj["slots"]:
+            u, v = kp_uv[slot]
+            cell = (int(v // ratio), int(u // ratio))
+            assert 0 <= cell[0] < out_h and 0 <= cell[1] < out_w
+            kp_cells.setdefault(slot, []).append(cell)
+            kp_heatmap[0, slot, cell[0], cell[1]] = (
+                obj["kp_logit"] + 0.03 * slot
+            )
+            aff_y = cell[0] / out_h - ccell[0] / out_h
+            aff_x = cell[1] / out_w - ccell[1] / out_w
+            kp_affinity[0, slot, 0, cell[0], cell[1]] = aff_y
+            kp_affinity[0, slot, 1, cell[0], cell[1]] = aff_x
+
+    # One class-1 detection (no keypoints for that class).
+    heatmap[0, 1, 4, 26] = 2.8
+
+    # Scene sanity: 3x3 NMS must keep every engineered peak.
+    for cells in ([center_cells] + list(kp_cells.values())):
+        for i in range(len(cells)):
+            for j in range(i + 1, len(cells)):
+                assert max(abs(cells[i][0] - cells[j][0]),
+                           abs(cells[i][1] - cells[j][1])) >= 2
+
+    class RefConfig:
+        pass
+
+    ref_mc = RefConfig()
+    ref_mc.in_h, ref_mc.in_w = in_h, in_w
+    ref_mc.out_h, ref_mc.out_w = out_h, out_w
+    ref_mc.downsample_ratio = ratio
+
+    angle_off = RefAngleConfig(train=False, modulo=None)
+    ref_oc = RefObjectConfigSet(configs=[
+        RefObjectConfig(
+            id="torp", yaw=angle_off, pitch=angle_off, roll=angle_off,
+            train_depth=False, train_keypoints=True,
+            keypoints=[tuple(kp) for kp in kp_local],
+        ),
+        RefObjectConfig(
+            id="flat", yaw=angle_off, pitch=angle_off, roll=angle_off,
+            train_depth=False, train_keypoints=False, keypoints=[],
+        ),
+    ])
+
+    class RefPrediction:
+        pass
+
+    ref_pred = RefPrediction()
+    ref_pred.heatmap = torch.from_numpy(heatmap)
+    ref_pred.keypoint_heatmap = torch.from_numpy(kp_heatmap)
+    ref_pred.keypoint_affinity = torch.from_numpy(kp_affinity)
+    ref_pred.size = torch.from_numpy(size)
+    ref_pred.offset = torch.from_numpy(offset)
+    ref_pred.depth = None
+
+    n_det, n_kp_det = 8, 24
+    ref_out = ref_decode.decode_keypoints(
+        ref_pred, ref_mc, ref_oc, projection,
+        n_detections=n_det, keypoint_n_detections=n_kp_det,
+        score_threshold=0.3, keypoint_score_threshold=0.3,
+        keypoint_angle_threshold=0.5,
+    )
+
+    my_mc = CenternetModelConfig(
+        in_h=in_h, in_w=in_w, backbone_heights=(1,),
+        backbone_channels=(8, 8), downsamples=2, angle_bin_overlap=pi / 3,
+    )
+    my_oc = ObjectConfigSet(configs=(
+        ObjectConfig(
+            id="torp", yaw=AngleConfig(False, None),
+            pitch=AngleConfig(False, None), roll=AngleConfig(False, None),
+            train_depth=False, train_keypoints=True,
+            keypoints=tuple(tuple(kp) for kp in kp_local),
+        ),
+        ObjectConfig(
+            id="flat", yaw=AngleConfig(False, None),
+            pitch=AngleConfig(False, None), roll=AngleConfig(False, None),
+            train_depth=False, train_keypoints=False, keypoints=(),
+        ),
+    ))
+    my_pred = MyPrediction(
+        heatmap=jnp.asarray(np.transpose(heatmap, (0, 2, 3, 1))),
+        keypoint_heatmap=jnp.asarray(np.transpose(kp_heatmap, (0, 2, 3, 1))),
+        keypoint_affinity=jnp.asarray(
+            np.transpose(kp_affinity, (0, 3, 4, 1, 2))
+        ),
+        size=jnp.asarray(size), offset=jnp.asarray(offset),
+        roll_bin=None, roll_offset=None, pitch_bin=None, pitch_offset=None,
+        yaw_bin=None, yaw_offset=None, depth=None,
+    )
+    mine = my_decode_keypoints(
+        my_pred, my_mc, my_oc, jnp.asarray(projection, jnp.float32),
+        n_detections=n_det, keypoint_n_detections=n_kp_det,
+        score_threshold=0.3, keypoint_score_threshold=0.3,
+        pnp_iterations=40,
+    )
+
+    # ---- detections ----------------------------------------------------
+    ref_sample = ref_out[0]
+    assert int(np.asarray(mine.detections.valid[0]).sum()) == len(ref_sample)
+    for di, ref_det in enumerate(ref_sample):
+        assert int(mine.detections.label[0, di]) == ref_det.label
+        np.testing.assert_allclose(
+            float(mine.detections.score[0, di]), ref_det.score, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            float(mine.detections.y[0, di]), ref_det.y, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            float(mine.detections.x[0, di]), ref_det.x, atol=1e-3
+        )
+
+    # ---- keypoint->detection matching ----------------------------------
+    for di, ref_det in enumerate(ref_sample):
+        n_slots = len(ref_det.keypoints)
+        for si in range(n_slots):
+            ref_kp = ref_det.keypoints[si]
+            claimed = bool(mine.keypoint_valid[0, di, si])
+            assert claimed == (ref_kp is not None), (di, si)
+            if ref_kp is None:
+                continue
+            np.testing.assert_allclose(
+                float(mine.keypoint_y[0, di, si]), ref_kp[0], atol=1e-3
+            )
+            np.testing.assert_allclose(
+                float(mine.keypoint_x[0, di, si]), ref_kp[1], atol=1e-3
+            )
+            np.testing.assert_allclose(
+                float(mine.keypoint_score[0, di, si]),
+                ref_det.keypoint_scores[si], atol=1e-3,
+            )
+
+    # ---- PnP gating + pose agreement with cv2.solvePnP -----------------
+    # The reference's stale-variable bug parks every solved pose on ONE
+    # detection; assert that deviation is real, then check our per-
+    # detection poses against cv2 run on the reference's matched sets.
+    ref_with_pose = [d for d in ref_sample if d.cam_t_object is not None]
+    ref_solvable = [
+        d for d in ref_sample
+        if sum(kp is not None for kp in d.keypoints) >= 6
+    ]
+    assert len(ref_solvable) == 2
+    assert len(ref_with_pose) == 1  # decode.py:172 stale variable
+
+    for di, ref_det in enumerate(ref_sample):
+        solvable = sum(kp is not None for kp in ref_det.keypoints) >= 6
+        assert bool(mine.pose_valid[0, di]) == solvable
+        if not solvable:
+            continue
+        img_pts, obj_pts = [], []
+        for si, kp in enumerate(ref_det.keypoints):
+            if kp is None:
+                continue
+            img_pts.append([kp[1] * in_w, kp[0] * in_h])
+            obj_pts.append(kp_local[si])
+        ok, rvec, tvec = cv2.solvePnP(
+            np.asarray(obj_pts), np.asarray(img_pts), projection, None,
+            flags=cv2.SOLVEPNP_ITERATIVE,
+        )
+        assert ok
+        rot_cv, _ = cv2.Rodrigues(rvec)
+        np.testing.assert_allclose(
+            np.asarray(mine.pose_rotation[0, di]), rot_cv, atol=3e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(mine.pose_translation[0, di]),
+            tvec.reshape(3), atol=5e-2,
+        )
+
+    # ---- empty sample ---------------------------------------------------
+    assert len(ref_out[1]) == 0
+    assert not bool(np.asarray(mine.detections.valid[1]).any())
 
 
 def test_mask_assembly_parity_with_reference():
