@@ -70,6 +70,14 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None, help="warm-start path")
     parser.add_argument("--overfit", action="store_true")
     parser.add_argument("--epoch-n-batches", type=int, default=None)
+    parser.add_argument(
+        "--watch-every", type=int, default=0,
+        help="log per-layer param/grad stats every N steps (wandb.watch)",
+    )
+    parser.add_argument(
+        "--no-figures", action="store_true",
+        help="disable per-val-epoch heatmap figures",
+    )
     args = parser.parse_args(argv)
 
     config_module = importlib.import_module(args.config)
@@ -145,11 +153,20 @@ def main(argv=None):
         state = replicate(state, mesh)
 
     train_step = make_centernet_train_step(
-        model, model_config, train_config, object_config, mesh=mesh
+        model, model_config, train_config, object_config, mesh=mesh,
+        watch=args.watch_every > 0,
     )
     eval_step = make_centernet_eval_step(
         model, model_config, train_config, object_config, mesh=mesh
     )
+
+    figure_fn = None
+    if not args.no_figures:
+        from tauv_vision_tpu.train.figures import make_centernet_figure_fn
+
+        figure_fn = make_centernet_figure_fn(
+            model, model_config, train_config, object_config
+        )
 
     trainer = Trainer(
         train_step, eval_step, state,
@@ -158,12 +175,14 @@ def main(argv=None):
             epoch_n_batches=args.epoch_n_batches or len(train_loader),
             weight_save_interval=train_config.weight_save_interval,
             overfit_single_batch=args.overfit,
+            watch_every=args.watch_every,
         ),
         checkpoints=checkpoints,
         writer=MultiWriter(
             StdoutWriter(), JsonlWriter(results_dir / "metrics.jsonl")
         ),
         mesh=mesh,
+        figure_fn=figure_fn,
     )
     trainer.fit(
         lambda: iter(train_loader),

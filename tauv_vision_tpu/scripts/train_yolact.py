@@ -115,6 +115,12 @@ def main(argv=None):
     parser.add_argument("--results-dir", required=True)
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--overfit", action="store_true")
+    parser.add_argument(
+        "--watch-every", type=int, default=0,
+        help="log per-layer param/grad stats every N steps (wandb.watch, "
+             "reference yolact/scripts/train.py:480)",
+    )
+    parser.add_argument("--no-figures", action="store_true")
     args = parser.parse_args(argv)
 
     model = Yolact(model_config, dtype=jnp.bfloat16)
@@ -167,9 +173,15 @@ def main(argv=None):
         state = replicate(state, mesh)
 
     train_step = make_yolact_train_step(model, model_config, train_config,
-                                        mesh=mesh)
+                                        mesh=mesh, watch=args.watch_every > 0)
     eval_step = make_yolact_eval_step(model, model_config, train_config,
                                       mesh=mesh)
+
+    figure_fn = None
+    if not args.no_figures:
+        from tauv_vision_tpu.train.figures import make_yolact_figure_fn
+
+        figure_fn = make_yolact_figure_fn(model, model_config)
 
     trainer = Trainer(
         train_step, eval_step, state,
@@ -179,12 +191,14 @@ def main(argv=None):
             weight_save_interval=train_config.weight_save_interval,
             keep_best=True,
             overfit_single_batch=args.overfit,
+            watch_every=args.watch_every,
         ),
         checkpoints=checkpoints,
         writer=MultiWriter(
             StdoutWriter(), JsonlWriter(results_dir / "metrics.jsonl")
         ),
         mesh=mesh,
+        figure_fn=figure_fn,
     )
     trainer.fit(
         lambda: iter(train_loader),

@@ -30,8 +30,10 @@ from tauv_vision_tpu.data.loader import BatchLoader
 from tauv_vision_tpu.models.yolo_pose import YoloPose
 from tauv_vision_tpu.train import TrainState, warmup_adam
 from tauv_vision_tpu.train.checkpoint import CheckpointManager
+from tauv_vision_tpu.train.figures import make_yolo_pose_figure_fn
 from tauv_vision_tpu.train.metrics import JsonlWriter, MultiWriter, StdoutWriter
 from tauv_vision_tpu.train.trainer import Trainer, TrainerConfig
+from tauv_vision_tpu.train.watch import watch_metrics
 from tauv_vision_tpu.train.yolo_pose_task import YoloPoseTruth, yolo_pose_loss
 
 # Reference run config (yolo_pose/scripts/train.py:54-120), trimmed to
@@ -113,6 +115,7 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--warmup-epochs", type=int, default=10)
     parser.add_argument("--overfit", action="store_true")
+    parser.add_argument("--watch-every", type=int, default=0)
     args = parser.parse_args(argv)
 
     dataset = FallingThingsDataset(
@@ -149,15 +152,20 @@ def main(argv=None):
         losses = yolo_pose_loss(prediction, truth, model_config)
         return losses.total, (losses, mutated.get("batch_stats"))
 
+    watch = args.watch_every > 0
+
     @jax.jit
     def train_step(state, img, truth):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (losses, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, img, truth
         )
+        stats = watch_metrics(state.params, grads) if watch else None
         state = state.apply_gradients(grads=grads)
         if new_stats is not None:
             state = state.replace(batch_stats=new_stats)
+        if watch:
+            return state, losses, stats
         return state, losses
 
     results_dir = pathlib.Path(args.results_dir).expanduser()
@@ -167,11 +175,13 @@ def main(argv=None):
             n_epochs=args.n_epochs, epoch_n_batches=args.epoch_n_batches,
             weight_save_interval=5, keep_best=False,
             overfit_single_batch=args.overfit,
+            watch_every=args.watch_every,
         ),
         checkpoints=CheckpointManager(results_dir / "checkpoints"),
         writer=MultiWriter(
             StdoutWriter(), JsonlWriter(results_dir / "metrics.jsonl")
         ),
+        figure_fn=make_yolo_pose_figure_fn(model, model_config),
     )
     trainer.fit(
         lambda: iter(loader),

@@ -17,6 +17,7 @@ from typing import Dict, Optional, Protocol
 
 class MetricWriter(Protocol):
     def log(self, metrics: Dict[str, float], step: int) -> None: ...
+    def log_figure(self, tag: str, figure, step: int) -> None: ...
     def close(self) -> None: ...
 
 
@@ -28,11 +29,18 @@ class StdoutWriter:
         parts = " ".join(f"{k}={v:.5g}" for k, v in metrics.items())
         print(f"{self.prefix}step={step} {parts}", flush=True)
 
+    def log_figure(self, tag: str, figure, step: int) -> None:
+        print(f"{self.prefix}step={step} figure {tag}", flush=True)
+
     def close(self) -> None:
         pass
 
 
 class JsonlWriter:
+    """Scalars to JSONL; figures to PNGs under ``<dir>/figures/`` with a
+    JSONL record pointing at each (the W&B-figure analog,
+    centernet/scripts/train.py:93-101)."""
+
     def __init__(self, path: pathlib.Path):
         self.path = pathlib.Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
@@ -40,6 +48,16 @@ class JsonlWriter:
 
     def log(self, metrics: Dict[str, float], step: int) -> None:
         record = {"step": step, "time": time.time(), **metrics}
+        self._fp.write(json.dumps(record) + "\n")
+        self._fp.flush()
+
+    def log_figure(self, tag: str, figure, step: int) -> None:
+        fig_dir = self.path.parent / "figures"
+        fig_dir.mkdir(parents=True, exist_ok=True)
+        out = fig_dir / f"{tag.replace('/', '_')}_{step:08d}.png"
+        figure.savefig(out)
+        record = {"step": step, "time": time.time(), "figure": tag,
+                  "path": str(out)}
         self._fp.write(json.dumps(record) + "\n")
         self._fp.flush()
 
@@ -60,6 +78,9 @@ class WandbWriter:
     def log(self, metrics: Dict[str, float], step: int) -> None:
         self._wandb.log(metrics, step=step)
 
+    def log_figure(self, tag: str, figure, step: int) -> None:
+        self._wandb.log({tag: self._wandb.Image(figure)}, step=step)
+
     def close(self) -> None:
         self.run.finish()
 
@@ -71,6 +92,10 @@ class MultiWriter:
     def log(self, metrics: Dict[str, float], step: int) -> None:
         for w in self.writers:
             w.log(metrics, step)
+
+    def log_figure(self, tag: str, figure, step: int) -> None:
+        for w in self.writers:
+            w.log_figure(tag, figure, step)
 
     def close(self) -> None:
         for w in self.writers:

@@ -31,10 +31,13 @@ from tauv_vision_tpu.parallel.mesh import (
 )
 from tauv_vision_tpu.train.centernet_task import CenternetTruth, centernet_loss
 from tauv_vision_tpu.train.state import TrainState
+from tauv_vision_tpu.train.watch import watch_metrics
 from tauv_vision_tpu.train.yolact_task import YolactTruth, yolact_loss
 
 
-def _maybe_shard(jit_kwargs: dict, mesh: Optional[Mesh]) -> dict:
+def _maybe_shard(
+    jit_kwargs: dict, mesh: Optional[Mesh], n_out: int = 2
+) -> dict:
     if mesh is None:
         return jit_kwargs
     rep = replicated(mesh)
@@ -45,7 +48,7 @@ def _maybe_shard(jit_kwargs: dict, mesh: Optional[Mesh]) -> dict:
     # stay batch-sharded: the losses reduce over space anyway.
     img = spatial_sharding(mesh) if has_model_axis(mesh) else data
     jit_kwargs["in_shardings"] = (rep, img, data)
-    jit_kwargs["out_shardings"] = (rep, rep)
+    jit_kwargs["out_shardings"] = (rep,) * n_out
     return jit_kwargs
 
 
@@ -55,6 +58,7 @@ def make_centernet_train_step(
     train_config: CenternetTrainConfig,
     object_config: ObjectConfigSet,
     mesh: Optional[Mesh] = None,
+    watch: bool = False,
 ):
     def loss_fn(params, batch_stats, img, truth: CenternetTruth):
         variables = {"params": params}
@@ -74,12 +78,17 @@ def make_centernet_train_step(
         (_, (losses, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, img, truth
         )
+        stats = watch_metrics(state.params, grads) if watch else None
         state = state.apply_gradients(grads=grads)
         if new_stats is not None:
             state = state.replace(batch_stats=new_stats)
+        if watch:
+            return state, losses, stats
         return state, losses
 
-    return jax.jit(step, **_maybe_shard({"donate_argnums": (0,)}, mesh))
+    return jax.jit(
+        step, **_maybe_shard({"donate_argnums": (0,)}, mesh, 3 if watch else 2)
+    )
 
 
 def make_centernet_eval_step(
@@ -114,6 +123,7 @@ def make_yolact_train_step(
     model_config: YolactModelConfig,
     train_config: YolactTrainConfig,
     mesh: Optional[Mesh] = None,
+    watch: bool = False,
 ):
     def loss_fn(params, batch_stats, img, truth: YolactTruth):
         variables = {"params": params}
@@ -131,12 +141,17 @@ def make_yolact_train_step(
         (_, (losses, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, img, truth
         )
+        stats = watch_metrics(state.params, grads) if watch else None
         state = state.apply_gradients(grads=grads)
         if new_stats is not None:
             state = state.replace(batch_stats=new_stats)
+        if watch:
+            return state, losses, stats
         return state, losses
 
-    return jax.jit(step, **_maybe_shard({"donate_argnums": (0,)}, mesh))
+    return jax.jit(
+        step, **_maybe_shard({"donate_argnums": (0,)}, mesh, 3 if watch else 2)
+    )
 
 
 def make_yolact_eval_step(

@@ -30,6 +30,10 @@ class TrainerConfig:
     keep_best: bool = True        # best-val checkpoint (yolact policy)
     log_every: int = 1
     overfit_single_batch: bool = False
+    # Log per-layer param/grad statistics every N steps (wandb.watch
+    # equivalent, yolact/scripts/train.py:480).  Requires a train_step
+    # built with watch=True (returns a third watch-metrics dict).
+    watch_every: int = 0
 
 
 class Trainer:
@@ -42,6 +46,7 @@ class Trainer:
         checkpoints: Optional[CheckpointManager] = None,
         writer: Optional[MetricWriter] = None,
         mesh=None,
+        figure_fn: Optional[Callable] = None,
     ):
         self.train_step = train_step
         self.eval_step = eval_step
@@ -50,6 +55,10 @@ class Trainer:
         self.checkpoints = checkpoints
         self.writer = writer or StdoutWriter()
         self.mesh = mesh
+        # figure_fn(state, img, truth) -> {tag: matplotlib Figure}, run on
+        # validation batch 0 each epoch (the reference's per-val-epoch
+        # figure logging, centernet/scripts/train.py:93-101).
+        self.figure_fn = figure_fn
         self.global_step = int(state.step)
         self.best_val_loss = float("inf")
 
@@ -64,6 +73,19 @@ class Trainer:
             truth = shard_batch(truth, self.mesh)
         return img, truth
 
+    def _log_figures(self, img, truth):
+        if self.figure_fn is None:
+            return
+        try:
+            figures = self.figure_fn(self.state, img, truth)
+            for tag, fig in figures.items():
+                self.writer.log_figure(tag, fig, self.global_step)
+                import matplotlib.pyplot as plt
+
+                plt.close(fig)
+        except Exception as exc:  # figures must never kill training
+            print(f"figure logging failed: {exc}", flush=True)
+
     def run_train_epoch(self, batches: Iterable, epoch: int) -> float:
         total = 0.0
         count = 0
@@ -77,14 +99,33 @@ class Trainer:
                 img, truth = cached
             else:
                 img, truth = self._put(batch)
+            if batch_i == 0 and self.eval_step is None:
+                # No validation loop (the yolo_pose recipe): figures come
+                # from train batch 0 instead, like the reference's
+                # in-train belief plots (yolo_pose/scripts/train.py:227).
+                self._log_figures(img, truth)
 
             t0 = time.perf_counter()
-            self.state, losses = self.train_step(self.state, img, truth)
+            result = self.train_step(self.state, img, truth)
+            watch_stats = None
+            if len(result) == 3:
+                self.state, losses, watch_stats = result
+            else:
+                self.state, losses = result
             if batch_i % self.config.log_every == 0:
                 metrics = losses_to_metrics(losses, "train/")
                 metrics["train/step_time"] = time.perf_counter() - t0
                 metrics["epoch"] = epoch
                 self.writer.log(metrics, self.global_step)
+            if (
+                watch_stats is not None
+                and self.config.watch_every > 0
+                and self.global_step % self.config.watch_every == 0
+            ):
+                self.writer.log(
+                    {k: float(v) for k, v in watch_stats.items()},
+                    self.global_step,
+                )
             total += float(losses.total)
             count += 1
             self.global_step += 1
@@ -96,8 +137,10 @@ class Trainer:
         total = 0.0
         count = 0
         sums: dict = {}
-        for batch in batches:
+        for batch_i, batch in enumerate(batches):
             img, truth = self._put(batch)
+            if batch_i == 0:
+                self._log_figures(img, truth)
             losses = self.eval_step(self.state, img, truth)
             for k, v in losses_to_metrics(losses, "val/").items():
                 sums[k] = sums.get(k, 0.0) + v
