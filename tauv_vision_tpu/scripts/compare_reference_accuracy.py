@@ -1,0 +1,353 @@
+"""Comparative accuracy: reference torch CenterNet vs the TPU rebuild,
+trained on IDENTICAL synthetic square data, evaluated with the
+reference's own PR-curve method (centernet/scripts/evaluate.py:167-233).
+
+This converts "losses match on random tensors" (the parity tests) into
+"training converges to the same place" — the strongest parity statement
+available without a mountable dataset (VERDICT r1, item 5).
+
+Both stacks train the same architecture (custom DLA backbone,
+heights (1, 1), channels (16, 16, 32), downsamples 2 — reference
+dla.py:393-416) with the same optimizer (Adam + grad-clip 1.0), batch
+size, and step count, on the same deterministic square batches
+(data/synthetic.py = the reference's tests/centernet_square_detection.py
+generator).  Evaluation decodes each stack with its own decode path
+(reference decode.py:179-236 / serving/centernet_decode.py) and scores
+both with the same greedy IoU matcher (eval/detection_eval.py).
+
+The reference trains with its own code as-is, including its known
+``n_valid = min(..., 1)`` normalization bug (loss.py:231) — the point is
+to compare the rebuilt framework against the reference's actual
+behavior.
+
+Run (CPU, ~10 min):
+  python -m tauv_vision_tpu.scripts.compare_reference_accuracy \
+      --steps 300 --out /tmp/compare.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import types
+from math import pi
+
+import numpy as np
+
+REFERENCE = "/root/reference/src"
+
+
+def _install_reference_stubs():
+    """Import path + torchvision/spatialmath stubs (the reference's heavy
+    deps that its core model/loss/decode modules don't actually need)."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        v2 = types.ModuleType("torchvision.transforms.v2")
+        for name in ("ToImageTensor", "ConvertImageDtype", "Compose",
+                     "ToTensor", "Resize", "Normalize"):
+            setattr(v2, name, lambda *a, **k: None)
+        tr.v2 = v2
+        tv.transforms = tr
+        ops = types.ModuleType("torchvision.ops")
+        ops.DeformConv2d = object
+        tv.ops = ops
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules.update({
+            "torchvision": tv, "torchvision.transforms": tr,
+            "torchvision.transforms.v2": v2, "torchvision.ops": ops,
+            "torchvision.models": tv.models,
+        })
+    if "spatialmath" not in sys.modules:
+        sm = types.ModuleType("spatialmath")
+        sm.SE3 = object
+        sm.SO3 = object
+        sys.modules["spatialmath"] = sm
+
+
+class _Bag:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+HEIGHTS = (1, 1)
+CHANNELS = (16, 16, 32)
+IN_H = IN_W = 64
+DOWNSAMPLES = 2
+
+
+def _make_data(n_train_batches, n_eval_batches, batch_size):
+    from tauv_vision_tpu.data.synthetic import (
+        SquareDatasetConfig,
+        generate_square_batch,
+    )
+
+    cfg = SquareDatasetConfig(in_h=IN_H, in_w=IN_W, rotate=False)
+    rng = np.random.default_rng(42)
+    train = [generate_square_batch(rng, batch_size, cfg)
+             for _ in range(n_train_batches)]
+    eval_rng = np.random.default_rng(1042)
+    evalb = [generate_square_batch(eval_rng, batch_size, cfg)
+             for _ in range(n_eval_batches)]
+    return train, evalb
+
+
+def train_reference(train_batches, steps, lr, log_every):
+    import torch
+
+    _install_reference_stubs()
+    from tauv_vision.centernet.model.backbones.dla import DLABackbone
+    from tauv_vision.centernet.model.centernet import Centernet as RefCenternet
+    from tauv_vision.centernet.model.config import (
+        AngleConfig as RefAngleConfig,
+        ModelConfig as RefModelConfig,
+        ObjectConfig as RefObjectConfig,
+        ObjectConfigSet as RefObjectConfigSet,
+        TrainConfig as RefTrainConfig,
+    )
+    from tauv_vision.centernet.model.loss import loss as ref_loss
+
+    torch.manual_seed(0)
+
+    object_config = RefObjectConfigSet(configs=[
+        RefObjectConfig(
+            id="square",
+            yaw=RefAngleConfig(train=False, modulo=2 * pi),
+            pitch=RefAngleConfig(train=False, modulo=2 * pi),
+            roll=RefAngleConfig(train=False, modulo=2 * pi),
+            train_depth=False, train_keypoints=False, keypoints=[],
+        ),
+    ])
+    model_config = RefModelConfig(
+        backbone_heights=list(HEIGHTS), backbone_channels=list(CHANNELS),
+        in_h=IN_H, in_w=IN_W, downsamples=DOWNSAMPLES,
+        angle_bin_overlap=pi / 3,
+    )
+    train_config = RefTrainConfig(
+        lr=lr, batch_size=train_batches[0][0].shape[0], n_batches=0,
+        n_epochs=1, heatmap_focal_loss_a=2.0, heatmap_focal_loss_b=4.0,
+        heatmap_sigma_factor=0.1, keypoint_heatmap_sigma=1.0,
+        keypoint_affinity_sigma=2.0, loss_lambda_keypoint_heatmap=1.0,
+        loss_lambda_keypoint_affinity=1.0, loss_lambda_size=0.1,
+        loss_lambda_offset=1.0, loss_lambda_angle=1.0,
+        loss_lambda_depth=1.0, n_workers=0, weight_save_interval=1,
+    )
+
+    model = RefCenternet(
+        DLABackbone(list(HEIGHTS), list(CHANNELS), DOWNSAMPLES),
+        object_config,
+    )
+    optimizer = torch.optim.Adam(model.parameters(), lr=lr)
+
+    def to_truth(truth):
+        z = torch.zeros(truth.valid.shape, dtype=torch.float32)
+        return _Bag(
+            valid=torch.from_numpy(np.asarray(truth.valid)),
+            label=torch.from_numpy(np.asarray(truth.label)).long(),
+            center=torch.from_numpy(np.asarray(truth.center)),
+            size=torch.from_numpy(np.asarray(truth.size)),
+            roll=z, pitch=z, yaw=z, depth=torch.ones_like(z),
+            keypoint_valid=None, keypoint_label=None,
+            keypoint_center=None, keypoint_object_index=None,
+        )
+
+    model.train()
+    for step in range(steps):
+        img, truth = train_batches[step % len(train_batches)]
+        img_t = torch.from_numpy(np.moveaxis(np.asarray(img), -1, 1)).float()
+        prediction = model(img_t)
+        losses = ref_loss(prediction, to_truth(truth), model_config,
+                          train_config, object_config, img=None)
+        optimizer.zero_grad()
+        losses.total.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        optimizer.step()
+        if step % log_every == 0:
+            print(f"ref step {step}: total={float(losses.total):.4f}",
+                  flush=True)
+    model.eval()
+    return model, model_config
+
+
+def eval_reference(model, model_config, eval_batches, n_detections):
+    import torch
+
+    from tauv_vision.centernet.model.decode import decode as ref_decode
+
+    from tauv_vision_tpu.eval.detection_eval import EvalDetection
+
+    detections = []
+    with torch.no_grad():
+        for img, _ in eval_batches:
+            img_t = torch.from_numpy(
+                np.moveaxis(np.asarray(img), -1, 1)
+            ).float()
+            prediction = model(img_t)
+            decoded = ref_decode(prediction, model_config, n_detections,
+                                 score_threshold=0.01)
+            for sample in decoded:
+                detections.append([
+                    EvalDetection(int(d.label), float(d.score), d.y, d.x,
+                                  d.h, d.w)
+                    for d in sample
+                ])
+    return detections
+
+
+def train_ours(train_batches, steps, lr, log_every):
+    import jax
+    import jax.numpy as jnp
+
+    from tauv_vision_tpu.configs import (
+        AngleConfig,
+        CenternetModelConfig,
+        CenternetTrainConfig,
+        ObjectConfig,
+        ObjectConfigSet,
+    )
+    from tauv_vision_tpu.models.centernet import Centernet
+    from tauv_vision_tpu.train import (
+        TrainState,
+        adam_with_clip,
+        make_centernet_train_step,
+    )
+
+    object_config = ObjectConfigSet(configs=(
+        ObjectConfig(
+            id="square",
+            yaw=AngleConfig(train=False, modulo=2 * pi),
+            pitch=AngleConfig(train=False, modulo=2 * pi),
+            roll=AngleConfig(train=False, modulo=2 * pi),
+            train_depth=False, train_keypoints=False, keypoints=None,
+        ),
+    ))
+    model_config = CenternetModelConfig(
+        in_h=IN_H, in_w=IN_W, backbone_heights=HEIGHTS,
+        backbone_channels=CHANNELS, downsamples=DOWNSAMPLES,
+        angle_bin_overlap=pi / 3,
+    )
+    train_config = CenternetTrainConfig(
+        lr=lr, batch_size=train_batches[0][0].shape[0], n_batches=0,
+        n_epochs=1, heatmap_focal_loss_a=2.0, heatmap_focal_loss_b=4.0,
+        heatmap_sigma_factor=0.1, keypoint_heatmap_sigma=1.0,
+        keypoint_affinity_sigma=2.0, loss_lambda_keypoint_heatmap=1.0,
+        loss_lambda_keypoint_affinity=1.0, loss_lambda_size=0.1,
+        loss_lambda_offset=1.0, loss_lambda_angle=1.0,
+        loss_lambda_depth=1.0, max_objects=train_batches[0][1].valid.shape[1],
+        max_keypoints=4,
+    )
+    model = Centernet(
+        object_config=object_config, backbone_heights=HEIGHTS,
+        backbone_channels=CHANNELS, downsamples=DOWNSAMPLES,
+    )
+    img0 = jnp.zeros((1, IN_H, IN_W, 3))
+    variables = model.init(jax.random.key(0), img0, train=False)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=adam_with_clip(lr, 1.0),
+    )
+    step_fn = make_centernet_train_step(
+        model, model_config, train_config, object_config
+    )
+    for step in range(steps):
+        img, truth = train_batches[step % len(train_batches)]
+        truth = jax.tree_util.tree_map(jnp.asarray, truth)
+        state, losses = step_fn(state, jnp.asarray(img), truth)
+        if step % log_every == 0:
+            print(f"ours step {step}: total={float(losses.total):.4f}",
+                  flush=True)
+    return model, model_config, state
+
+
+def eval_ours(model, model_config, state, eval_batches, n_detections):
+    import jax
+    import jax.numpy as jnp
+
+    from tauv_vision_tpu.eval.detection_eval import detections_from_arrays
+    from tauv_vision_tpu.serving.centernet_decode import decode
+
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+
+    @jax.jit
+    def run(img):
+        prediction = model.apply(variables, img, train=False)
+        return decode(prediction, model_config, n_detections,
+                      score_threshold=0.01)
+
+    detections = []
+    for img, _ in eval_batches:
+        d = run(jnp.asarray(img))
+        detections.extend(detections_from_arrays(
+            np.asarray(d.valid), np.asarray(d.score), np.asarray(d.label),
+            np.asarray(d.y), np.asarray(d.x), np.asarray(d.h),
+            np.asarray(d.w),
+        ))
+    return detections
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--n-train-batches", type=int, default=50)
+    parser.add_argument("--n-eval-batches", type=int, default=8)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--n-detections", type=int, default=8)
+    parser.add_argument("--log-every", type=int, default=25)
+    parser.add_argument("--out", default=None, help="JSON result path")
+    args = parser.parse_args(argv)
+
+    from tauv_vision_tpu.eval.detection_eval import (
+        average_precision,
+        iou_match,
+        precision_recall_curve,
+        truths_from_batch,
+    )
+
+    train_batches, eval_batches = _make_data(
+        args.n_train_batches, args.n_eval_batches, args.batch_size
+    )
+    truths = []
+    for _, truth in eval_batches:
+        truths.extend(truths_from_batch(truth))
+
+    print("=== training reference (torch) ===", flush=True)
+    ref_model, ref_cfg = train_reference(
+        train_batches, args.steps, args.lr, args.log_every
+    )
+    ref_dets = eval_reference(ref_model, ref_cfg, eval_batches,
+                              args.n_detections)
+
+    print("=== training rebuild (jax) ===", flush=True)
+    our_model, our_cfg, our_state = train_ours(
+        train_batches, args.steps, args.lr, args.log_every
+    )
+    our_dets = eval_ours(our_model, our_cfg, our_state, eval_batches,
+                         args.n_detections)
+
+    result = {"steps": args.steps, "batch_size": args.batch_size,
+              "lr": args.lr, "n_eval_samples": len(truths)}
+    for iou in (0.3, 0.5):
+        match = iou_match(iou)
+        for name, dets in (("reference", ref_dets), ("rebuild", our_dets)):
+            _, precision, recall = precision_recall_curve(dets, truths, match)
+            ap = average_precision(precision, recall)
+            result[f"{name}_ap_iou{iou}"] = round(ap, 4)
+            result[f"{name}_max_recall_iou{iou}"] = round(
+                float(recall.max()), 4
+            )
+    print(json.dumps(result, indent=2))
+    if args.out:
+        with open(args.out, "w") as fp:
+            json.dump(result, fp, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -63,3 +63,55 @@ def test_mask_assembly_kernel_no_crop():
     m1 = mask_assembly.assemble_mask_pallas(proto, coeff, None, crop=False)
     m2 = assemble_mask_batch(proto, coeff)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+
+
+def test_deform_conv_pallas_matches_gather():
+    """The Pallas DCN kernel vs the torchvision-exact gather formulation
+    (ops/deform_conv.py) with offsets inside the shift window."""
+    from tauv_vision_tpu.ops.deform_conv import deform_conv2d
+    from tauv_vision_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
+
+    rng = np.random.default_rng(3)
+    b, h, w, c, o, r = 2, 11, 16, 8, 8, 2
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    offset = jnp.asarray(
+        rng.uniform(-r, r, (b, h, w, 18)).astype(np.float32)
+    )
+    mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, 9)).astype(np.float32))
+    weight = jnp.asarray(
+        (rng.standard_normal((3, 3, c, o)) * 0.2).astype(np.float32)
+    )
+    bias = jnp.asarray(rng.standard_normal(o).astype(np.float32))
+
+    ref = deform_conv2d(x, offset, mask, weight, bias, stride=1, padding=1)
+    got = deform_conv2d_pallas(
+        x, offset, mask, weight, bias, padding=1, max_offset=r,
+        rows_per_strip=4, interpret=True,
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_deform_conv_pallas_no_mask_uneven_strips():
+    from tauv_vision_tpu.ops.deform_conv import deform_conv2d
+    from tauv_vision_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
+
+    rng = np.random.default_rng(4)
+    b, h, w, c, o, r = 1, 7, 8, 4, 4, 1
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    offset = jnp.asarray(
+        rng.uniform(-r, r, (b, h, w, 18)).astype(np.float32)
+    )
+    weight = jnp.asarray(
+        (rng.standard_normal((3, 3, c, o)) * 0.2).astype(np.float32)
+    )
+    ref = deform_conv2d(x, offset, None, weight, None, stride=1, padding=1)
+    got = deform_conv2d_pallas(
+        x, offset, None, weight, None, padding=1, max_offset=r,
+        rows_per_strip=4, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
