@@ -162,18 +162,32 @@ class Tree(nn.Module):
 
 class DLATrunk(nn.Module):
     """DLA-34 feature trunk returning all six level outputs
-    (centerpoint_dla.py:224-296)."""
+    (centerpoint_dla.py:224-296).
+
+    ``stem_s2d > 1`` runs the 7x7 RGB stem in space-to-depth phase form
+    (exact rewrite, same parameter; ops/space_to_depth.py) — the C_in=3
+    conv is otherwise the single most MXU-starved layer of the serving
+    graph (measured 10% of the int8 batch)."""
 
     levels: Sequence[int] = DLA34_LEVELS
     channels: Sequence[int] = DLA34_CHANNELS
+    stem_s2d: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> List[jnp.ndarray]:
-        x = nn.Conv(
-            self.channels[0], (7, 7), padding=3, use_bias=False,
-            dtype=self.dtype, name="base_conv",
-        )(img)
+        if self.stem_s2d > 1:
+            from tauv_vision_tpu.models.layers import S2DStemConv
+
+            x = S2DStemConv(
+                self.channels[0], 7, stride=1, f=self.stem_s2d,
+                dtype=self.dtype, name="base_conv",
+            )(img)
+        else:
+            x = nn.Conv(
+                self.channels[0], (7, 7), padding=3, use_bias=False,
+                dtype=self.dtype, name="base_conv",
+            )(img)
         x = nn.relu(_bn(train, "base_bn")(x))
 
         outputs = []
@@ -215,10 +229,11 @@ class DeformConvBlock(nn.Module):
     backbone's IDA style (dla.py:212-284) and the fastest inference
     option (SURVEY.md §7 names the non-deform fallback).
 
-    ``dcn_impl`` selects the deformable implementation: "shift" (default;
-    static-shift-window formulation, exact for |offset| <= max_offset,
-    ~20x faster than XLA gather on TPU) or "gather" (unbounded offsets,
-    torchvision-exact, slow on TPU).
+    ``dcn_impl`` selects the deformable implementation: "pallas"
+    (ops/pallas/deform_conv.py — VMEM strip streaming, the fast serving
+    path), "shift" (XLA static-shift-window formulation, exact for
+    |offset| <= max_offset like pallas but materializes shifted maps),
+    or "gather" (unbounded offsets, torchvision-exact, slow on TPU).
     """
 
     out_channels: int
@@ -254,7 +269,21 @@ class DeformConvBlock(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.out_channels,), jnp.float32
         )
-        if self.dcn_impl == "shift":
+        if self.dcn_impl == "pallas":
+            from tauv_vision_tpu.ops.pallas.deform_conv import (
+                deform_conv2d_pallas,
+            )
+
+            out = deform_conv2d_pallas(
+                x.astype(self.dtype),
+                offset.astype(jnp.float32),
+                mask.astype(jnp.float32),
+                weight.astype(self.dtype),
+                bias,
+                padding=1,
+                max_offset=self.dcn_max_offset,
+            )
+        elif self.dcn_impl == "shift":
             out = deform_conv2d_shift(
                 x.astype(self.dtype),
                 offset.astype(jnp.float32),
@@ -399,13 +428,16 @@ class DLASeg(nn.Module):
     heatmap_head_indices: Tuple[int, ...] = (0,)
     deform: bool = True
     dcn_impl: str = "shift"
+    stem_s2d: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> List[jnp.ndarray]:
         first_level = int(np.log2(self.down_ratio))
 
-        levels = DLATrunk(dtype=self.dtype, name="base")(img, train=train)
+        levels = DLATrunk(
+            stem_s2d=self.stem_s2d, dtype=self.dtype, name="base"
+        )(img, train=train)
 
         channels = list(DLA34_CHANNELS[first_level:])
         dla_up_out = DLAUp(
@@ -448,6 +480,7 @@ class CenterpointDLA34(nn.Module):
     head_conv: int = 256
     deform: bool = True
     dcn_impl: str = "shift"
+    stem_s2d: int = 0
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> Prediction:
@@ -465,6 +498,7 @@ class CenterpointDLA34(nn.Module):
                 heatmap_head_indices=tuple(heatmap_heads),
                 deform=self.deform,
                 dcn_impl=self.dcn_impl,
+                stem_s2d=self.stem_s2d,
                 dtype=self.dtype,
                 name="model",
             )(img, train=train)

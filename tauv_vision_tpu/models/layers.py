@@ -64,3 +64,38 @@ class TorchConvTranspose(nn.Module):
             )
             y = y + bias.astype(self.dtype)
         return y
+
+
+class S2DStemConv(nn.Module):
+    """Bias-free stem conv executed in space-to-depth phase form
+    (ops/space_to_depth.py): the parameter keeps the original
+    [kh, kw, Cin, Cout] HWIO shape — checkpoints and the torch weight
+    importers are unaffected — but the conv runs over the f-phase tensor
+    so a 3-channel camera stem feeds the MXU f*f*3 input channels.
+    Numerically exact (the fold is a linear reindexing of the kernel;
+    gradients flow through it, so training works too)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    f: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from tauv_vision_tpu.ops.space_to_depth import (
+            conv_s2d,
+            fold_conv_s2d_weights,
+        )
+
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        folded, pad, po = fold_conv_s2d_weights(
+            kernel.astype(self.dtype), self.f, self.stride, k // 2
+        )
+        return conv_s2d(x.astype(self.dtype), folded, self.f, pad, po)

@@ -78,13 +78,24 @@ class Resnet18Features(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     depths: Tuple[int, int, int] = (128, 256, 512)
+    # > 1: run the 7x7 RGB stem in space-to-depth phase form (exact
+    # rewrite, same "conv1" parameter; ops/space_to_depth.py).
+    stem_s2d: int = 0
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, train: bool = False):
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-            dtype=self.dtype, name="conv1",
-        )(img)
+        if self.stem_s2d > 1:
+            from tauv_vision_tpu.models.layers import S2DStemConv
+
+            x = S2DStemConv(
+                64, 7, stride=2, f=self.stem_s2d, dtype=self.dtype,
+                name="conv1",
+            )(img)
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                dtype=self.dtype, name="conv1",
+            )(img)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM,
             epsilon=BN_EPS, dtype=jnp.float32, name="bn1",

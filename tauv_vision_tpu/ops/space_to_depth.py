@@ -54,6 +54,66 @@ def depth_to_space(x: jnp.ndarray, f: int) -> jnp.ndarray:
     return x.reshape(b, hf * f, wf * f, c)
 
 
+def _fold_geometry(kh: int, f: int, stride: int):
+    """Static geometry of the fold: returns (k_s2d, pad (lo, hi), po,
+    dy_idx, dx_idx, valid) with the index arrays shaped
+    [k_s2d, k_s2d, f*f, po*po] mapping each folded tap/phase slot to the
+    original kernel tap (or invalid)."""
+    assert kh % 2 == 1
+    radius = kh // 2
+    assert f % stride == 0
+    po = f // stride
+
+    q_min = -radius
+    q_max = stride * (po - 1) + radius
+    t_min = q_min // f
+    t_max = q_max // f
+    k_s2d = t_max - t_min + 1
+
+    dy_idx = np.zeros((k_s2d, k_s2d, f * f, po * po), np.int32)
+    dx_idx = np.zeros_like(dy_idx)
+    valid = np.zeros(dy_idx.shape, bool)
+    for ao in range(po):
+        for bo in range(po):
+            for dy in range(kh):
+                for dx in range(kw_ := kh):
+                    qy = stride * ao + dy - radius
+                    qx = stride * bo + dx - radius
+                    ty = qy // f - t_min
+                    tx = qx // f - t_min
+                    ai = qy % f
+                    bi = qx % f
+                    dy_idx[ty, tx, ai * f + bi, ao * po + bo] = dy
+                    dx_idx[ty, tx, ai * f + bi, ao * po + bo] = dx
+                    valid[ty, tx, ai * f + bi, ao * po + bo] = True
+    return k_s2d, (-t_min, t_max), po, dy_idx, dx_idx, valid
+
+
+def fold_conv_s2d_weights(
+    kernel: jnp.ndarray, f: int, stride: int = 1, padding: int = 0
+) -> Tuple[jnp.ndarray, Tuple[int, int], int]:
+    """Traceable fold of an HWIO kernel (jnp; gradients flow through —
+    usable inside a flax module so the param keeps its original [kh, kw,
+    Cin, Cout] shape for checkpoints and torch importers).
+
+    Returns ``(kernel_s2d, (pad_lo, pad_hi), po)`` like
+    :func:`fold_conv_s2d`.
+    """
+    kh, kw, c_in, c_out = kernel.shape
+    assert kh == kw and padding == kh // 2
+    k_s2d, pad, po, dy_idx, dx_idx, valid = _fold_geometry(kh, f, stride)
+
+    gathered = kernel[dy_idx, dx_idx]  # [K, K, f*f, po*po, Cin, Cout]
+    gathered = jnp.where(valid[..., None, None], gathered, 0)
+    # -> [K, K, f*f, Cin, po*po, Cout] -> [K, K, f*f*Cin, po*po*Cout]
+    gathered = jnp.transpose(gathered, (0, 1, 2, 4, 3, 5))
+    return (
+        gathered.reshape(k_s2d, k_s2d, f * f * c_in, po * po * c_out),
+        pad,
+        po,
+    )
+
+
 def fold_conv_s2d(
     kernel: np.ndarray, f: int, stride: int = 1, padding: int = 0
 ) -> Tuple[np.ndarray, int, int]:
