@@ -263,8 +263,156 @@ def quantize_pipeline(raw_pipeline, variables, frames, cache_key):
     ), len(scales)
 
 
+def build_centernet_keypoints():
+    """CenterNet in the node's FULL configuration: keypoint heatmaps +
+    affinity + depth, greedy matcher + LM PnP fused on-device
+    (centernet_node.py:106-116)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tauv_vision_tpu.configs import (
+        AngleConfig,
+        CenternetModelConfig,
+        ObjectConfig,
+        ObjectConfigSet,
+    )
+    from tauv_vision_tpu.models.centerpoint_dla import CenterpointDLA34
+    from tauv_vision_tpu.serving.pipeline import (
+        make_centernet_keypoint_pipeline,
+    )
+
+    keypoints = tuple(
+        (0.1 * (i % 2) - 0.05, 0.1 * (i // 4) - 0.05, 0.02 * i)
+        for i in range(8)
+    )
+    object_config = ObjectConfigSet(
+        configs=(
+            ObjectConfig(
+                id="torpedo_24",
+                yaw=AngleConfig(train=False, modulo=2 * pi),
+                pitch=AngleConfig(train=False, modulo=2 * pi),
+                roll=AngleConfig(train=False, modulo=2 * pi),
+                train_depth=True, train_keypoints=True,
+                keypoints=keypoints,
+            ),
+        )
+    )
+    model_config = CenternetModelConfig(
+        in_h=360, in_w=640,
+        backbone_heights=(2, 2, 2, 2, 2),
+        backbone_channels=(128, 128, 128, 128, 128, 128),
+        downsamples=2, angle_bin_overlap=pi / 3,
+    )
+    projection = [[520.0, 0, 320.0, 0], [0, 520.0, 180.0, 0], [0, 0, 1, 0]]
+    model = CenterpointDLA34(
+        object_config=object_config, dtype=jnp.bfloat16, deform=False
+    )
+    img = jnp.zeros((1, BENCH_H, BENCH_W, 3), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, img, train=False))(
+        jax.random.key(0)
+    )
+    make = lambda jit: make_centernet_keypoint_pipeline(  # noqa: E731
+        model, model_config, object_config, projection,
+        n_detections=10, keypoint_n_detections=50,
+        score_threshold=0.6, keypoint_score_threshold=0.3, jit=jit,
+    )
+    return make(True), make(False), variables
+
+
+def build_yolo_pose():
+    """YOLO-Pose at its training recipe resolution (960x480,
+    yolo_pose/scripts/train.py:23-24) with belief-peak decode + PnP."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tauv_vision_tpu.configs.yolo_pose import YoloPoseModelConfig
+    from tauv_vision_tpu.models.yolo_pose import YoloPose
+    from tauv_vision_tpu.serving.pipeline import make_yolo_pose_pipeline
+
+    # The reference training recipe's config
+    # (yolo_pose/scripts/train.py:54-120).
+    model_config = YoloPoseModelConfig(
+        in_w=960, in_h=480, feature_depth=64, n_classes=21,
+        n_prototype_masks=16,
+        n_masknet_layers_pre_upsample=1, n_masknet_layers_post_upsample=1,
+        pointnet_layers=((7, 5, 64), (7, 5, 64)),
+        pointnet_feature_depth=64,
+        prototype_belief_depth=16, prototype_affinity_depth=16,
+        belief_depth=9, affinity_depth=18,
+        n_prediction_head_layers=1, n_fpn_downsample_layers=2,
+        belief_sigma=2.0, affinity_radius=6.0,
+        anchor_scales=(24, 48, 96, 192, 384), anchor_aspect_ratios=(1.0,),
+        box_variances=(0.1, 0.2), iou_pos_threshold=0.5,
+        iou_neg_threshold=0.4, negative_example_ratio=3,
+    )
+    model = YoloPose(model_config, dtype=jnp.bfloat16)
+    img = jnp.zeros((1, model_config.in_h, model_config.in_w, 3),
+                    jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, img, train=False))(
+        jax.random.key(0)
+    )
+    object_points = np.array(
+        [[0.1 * (i % 3) - 0.1, 0.1 * (i // 3) - 0.1, 0.05 * (i % 2)]
+         for i in range(9)], np.float32,
+    )
+    camera = np.array(
+        [[700.0, 0, 480.0], [0, 700.0, 240.0], [0, 0, 1.0]], np.float32
+    )
+    make = lambda jit: make_yolo_pose_pipeline(  # noqa: E731
+        model, model_config, top_k=10, iou_threshold=0.5,
+        confidence_threshold=0.5, object_points=object_points,
+        camera_matrix=camera, jit=jit,
+    )
+    return make(True), make(False), variables
+
+
+def run_aux_bench(family: str, batch_size: int):
+    """Bench the keypoint+PnP or YOLO-Pose serving path, bf16 and int8
+    (VERDICT r1 item 9).  Prints one JSON line and exits."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (batch_size, BENCH_H, BENCH_W, 3),
+                     dtype=np.uint8)
+    )
+    if family == "keypoints":
+        pipeline, raw, variables = build_centernet_keypoints()
+    else:
+        pipeline, raw, variables = build_yolo_pose()
+
+    t_bf16 = time_chained(pipeline, variables, frames, n_chain=3)
+    q, n_q = quantize_pipeline(
+        raw, variables, frames, f"{family}_b{batch_size}"
+    )
+    t_int8 = time_chained(lambda v, f: q(f), variables, frames, n_chain=3)
+
+    result = {
+        "metric": f"640x480 frames/sec/chip {family} pipeline",
+        "value": round(batch_size / t_int8, 2),
+        "unit": "frames/sec/chip",
+        "detail": {
+            "batch_size": batch_size,
+            "bf16_fps": round(batch_size / t_bf16, 2),
+            "int8_fps": round(batch_size / t_int8, 2),
+            "quantized_convs": n_q,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
 def main():
     _enable_compilation_cache()
+    if "--keypoints" in sys.argv or "--yolo-pose" in sys.argv:
+        family = "keypoints" if "--keypoints" in sys.argv else "yolo_pose"
+        batch = next(
+            (int(a) for a in sys.argv[1:] if a.isdigit()), 16
+        )
+        run_aux_bench(family, batch)
+        return
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     # Default: the deployable configuration (plain-conv IDA, the custom
     # backbone's aggregation style and SURVEY §7's accuracy-checked

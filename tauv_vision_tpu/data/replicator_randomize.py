@@ -55,6 +55,17 @@ class RandomizeConfig:
     num_frames: int = 20000
     resolution: Tuple[int, int] = (640, 360)
 
+    # Scene-prim layout + camera rig; the pool-test scene
+    # (randomize_frc_tank.py) uses a fixed overhead camera and different
+    # prim paths than the open-water scene (randomize.py).
+    camera_position: Vec3 = (0.0, 0.0, 0.0)
+    camera_rotation: Vec3 = (0.0, 0.0, 0.0)
+    sky_prim: str = "Environment/sky"
+    water_prim: str = "Looks/Water"
+    randomize_sky_pose: bool = True
+    enable_sun: bool = True
+    enable_environment_offset: bool = True
+
     sky_intensity: Tuple[float, float] = (200.0, 250.0)
     sky_exposure: Tuple[float, float] = (0.0, 5.0)
     sun_rotation_min: Vec3 = (0, -180, 0)
@@ -123,17 +134,20 @@ def build_and_run(config: RandomizeConfig) -> None:
         for usd in list(config.model_usds) + list(config.distractor_usds):
             rep.create.from_usd(usd)
 
-        camera = rep.create.camera(position=(0, 0, 0), rotation=(0, 0, 0))
+        camera = rep.create.camera(
+            position=config.camera_position, rotation=config.camera_rotation
+        )
         render_product = rep.create.render_product(camera, config.resolution)
 
         def randomize_sky():
-            sky = rep.get.prims(f"{SCENE_PRIM_PREFIX}/Environment/sky")
+            sky = rep.get.prims(f"{SCENE_PRIM_PREFIX}/{config.sky_prim}")
             with sky:
-                rep.modify.pose(
-                    rotation=rep.distribution.uniform(
-                        (-180, -180, -180), (180, 180, 180)
+                if config.randomize_sky_pose:
+                    rep.modify.pose(
+                        rotation=rep.distribution.uniform(
+                            (-180, -180, -180), (180, 180, 180)
+                        )
                     )
-                )
                 if hdris:
                     rep.modify.attribute(
                         "texture:file", rep.distribution.choice(hdris)
@@ -165,7 +179,9 @@ def build_and_run(config: RandomizeConfig) -> None:
             return sun.node
 
         def randomize_water():
-            water = rep.get.prim_at_path(f"{SCENE_PRIM_PREFIX}/Looks/Water")
+            water = rep.get.prim_at_path(
+                f"{SCENE_PRIM_PREFIX}/{config.water_prim}"
+            )
             with water:
                 rep.modify.attribute(
                     "inputs:volume_scattering",
@@ -251,9 +267,13 @@ def build_and_run(config: RandomizeConfig) -> None:
                         )
             return obj_prims.node
 
-        for fn in (randomize_sky, randomize_sun, randomize_water,
-                   randomize_environment, randomize_distractors,
-                   randomize_objects):
+        randomizers = [randomize_sky, randomize_water,
+                       randomize_distractors, randomize_objects]
+        if config.enable_sun:
+            randomizers.insert(1, randomize_sun)
+        if config.enable_environment_offset:
+            randomizers.insert(-2, randomize_environment)
+        for fn in randomizers:
             rep.randomizer.register(fn)
 
         # Annotators (randomize.py:245-258).
@@ -279,5 +299,80 @@ def build_and_run(config: RandomizeConfig) -> None:
         async def run():
             for _ in range(config.num_frames):
                 await rep.orchestrator.step_async()
+
+        asyncio.ensure_future(run())
+
+
+# Pool-test scene preset (replicator/randomize_frc_tank.py:1-180): fixed
+# overhead camera in the FRC tank USD, lowercase prim paths, no sun/
+# environment randomizers, sample objects close-in with color jitter.
+FRC_TANK_CONFIG = RandomizeConfig(
+    scene_usd="models/frc_tank_scene/frc_tank_scene.usd",
+    model_usds=(
+        "models/samples_24/usd/worm.usd",
+        "models/samples_24/usd/coral.usd",
+        "models/samples_24/usd/nautilus.usd",
+    ),
+    output_dir="_replicator_frc_tank_out",
+    num_frames=10000,
+    resolution=(640, 360),
+    camera_position=(0.0, 800.0, 0.0),
+    camera_rotation=(-90.0, 0.0, 0.0),
+    sky_prim="sky",
+    water_prim="Looks/water",
+    randomize_sky_pose=False,
+    enable_sun=False,
+    enable_environment_offset=False,
+    sky_intensity=(50.0, 1000.0),
+    water_scattering=(0.01, 0.1),
+    water_thickness=(0.1, 0.5),
+    distractor_distance=(800.0, 1000.0),
+    distractor_visible_p=1.0,
+    placements=[
+        ObjectPlacement(
+            classes=("sample_24_worm", "sample_24_coral",
+                     "sample_24_nautilus"),
+            horizontal_location=(-0.75, 0.75),
+            vertical_location=(-0.75, 0.75),
+            distance=(100, 300),
+            rotation_min=(-30, -180, -30), rotation_max=(30, 180, 30),
+            randomize_color=True,
+        ),
+    ],
+)
+
+
+def write_camera_params_probe(config: RandomizeConfig) -> None:
+    """One-shot camera-intrinsics dump — the reference's debugging probe
+    (replicator/test_camera_params.py, randomize_frc_tank.py:135-146):
+    step the orchestrator once and write only the camera_params annotator
+    through BasicWriter so the converter's projection-matrix handling can
+    be checked without a full render run."""
+    try:
+        import omni.replicator.core as rep
+    except ImportError as e:  # pragma: no cover - requires Omniverse
+        raise RuntimeError(
+            "write_camera_params_probe must run inside Omniverse"
+        ) from e
+
+    with rep.new_layer():
+        rep.create.from_usd(config.scene_usd)
+        camera = rep.create.camera(
+            position=config.camera_position, rotation=config.camera_rotation
+        )
+        render_product = rep.create.render_product(camera, config.resolution)
+        annotator = rep.AnnotatorRegistry.get_annotator("camera_params")
+        annotator.attach([render_product])
+        writer = rep.BasicWriter(
+            output_dir=config.output_dir,
+            colorize_instance_segmentation=False,
+        )
+
+        async def run():
+            await rep.orchestrator.step_async()
+            writer.write({
+                "trigger_outputs": {"on_time": 0},
+                "camera_params": annotator.get_data(),
+            })
 
         asyncio.ensure_future(run())

@@ -86,12 +86,13 @@ def make_centernet_keypoint_pipeline(
     score_threshold: float = 0.6,
     keypoint_score_threshold: float = 0.3,
     dtype=jnp.bfloat16,
+    jit: bool = True,
 ):
     """Full keypoint+PnP pipeline (the centernet node's configuration,
-    centernet_node.py:106-116)."""
+    centernet_node.py:106-116).  ``jit=False`` returns the raw traceable
+    function (for int8 calibration)."""
     projection_matrix = jnp.asarray(projection_matrix)
 
-    @jax.jit
     def pipeline(variables, img_uint8) -> KeypointDetections:
         img = preprocess(
             img_uint8, (model_config.in_h, model_config.in_w),
@@ -104,7 +105,45 @@ def make_centernet_keypoint_pipeline(
             score_threshold, keypoint_score_threshold,
         )
 
-    return pipeline
+    return jax.jit(pipeline) if jit else pipeline
+
+
+def make_yolo_pose_pipeline(
+    model,
+    model_config,
+    top_k: int = 10,
+    iou_threshold: float = 0.5,
+    confidence_threshold: float = 0.5,
+    keypoint_score_threshold: float = 0.3,
+    object_points=None,
+    camera_matrix=None,
+    dtype=jnp.bfloat16,
+    jit: bool = True,
+):
+    """Fused YOLO-Pose serving pipeline: uint8 frames -> belief-peak
+    keypoints (+ optional PnP pose).  Completes the reference's empty
+    ``yolo_pose/model/inference.py`` as a servable path; ``jit=False``
+    returns the raw traceable function (for int8 calibration)."""
+    from tauv_vision_tpu.serving.yolo_pose_decode import decode_yolo_pose
+
+    if object_points is not None:
+        object_points = jnp.asarray(object_points)
+    if camera_matrix is not None:
+        camera_matrix = jnp.asarray(camera_matrix)
+
+    def pipeline(variables, img_uint8):
+        img = preprocess(
+            img_uint8, (model_config.in_h, model_config.in_w),
+            IMAGENET_MEAN, IMAGENET_STDDEV, dtype=dtype,
+        )
+        prediction = model.apply(variables, img, train=False)
+        return decode_yolo_pose(
+            prediction, model_config, top_k, iou_threshold,
+            confidence_threshold, keypoint_score_threshold,
+            object_points=object_points, camera_matrix=camera_matrix,
+        )
+
+    return jax.jit(pipeline) if jit else pipeline
 
 
 def make_yolact_pipeline(

@@ -300,3 +300,25 @@ def test_quat_to_rotm():
     q = np.array([0, 0, np.sqrt(0.5), np.sqrt(0.5)])
     r = quat_xyzw_to_rotm(q)
     np.testing.assert_allclose(r @ [1, 0, 0], [0, 1, 0], atol=1e-9)
+
+
+def test_frc_tank_preset():
+    """The pool-scene preset (randomize_frc_tank.py parity) is a complete
+    RandomizeConfig with the reference scene's values."""
+    from tauv_vision_tpu.data.replicator_randomize import (
+        FRC_TANK_CONFIG,
+        write_camera_params_probe,
+    )
+
+    cfg = FRC_TANK_CONFIG
+    assert cfg.camera_position == (0.0, 800.0, 0.0)
+    assert cfg.camera_rotation == (-90.0, 0.0, 0.0)
+    assert not cfg.enable_sun and not cfg.enable_environment_offset
+    assert cfg.sky_intensity == (50.0, 1000.0)
+    assert cfg.water_scattering == (0.01, 0.1)
+    assert len(cfg.placements) == 1
+    assert cfg.placements[0].randomize_color
+    # Outside Omniverse both entry points raise the clear error.
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="Omniverse"):
+        write_camera_params_probe(cfg)
