@@ -57,9 +57,14 @@ def calibrate(
     min_in_channels: int = 16,
     percentile: Optional[float] = None,
 ) -> Dict[str, float]:
-    """Run ``apply_fn(batch)`` over batches recording per-conv input absmax.
+    """Run ``apply_fn(batch)`` over batches recording per-conv input
+    activation ranges.
 
-    Returns {module_path: activation_scale} with scale = absmax / 127.
+    Returns {module_path: activation_scale} with
+    scale = range / 127, where range is the input absmax (default) or,
+    with ``percentile`` set (e.g. 99.9), that percentile of |input| —
+    clipping rare outliers trades a little saturation for finer
+    resolution on the bulk of the distribution.
     """
     absmax: Dict[str, float] = {}
 
@@ -71,7 +76,11 @@ def calibrate(
             and _should_quantize(context.module, args[0], min_in_channels)
         ):
             path = _conv_path(context)
-            value = float(jnp.abs(args[0]).max())
+            magnitude = jnp.abs(args[0])
+            if percentile is None:
+                value = float(magnitude.max())
+            else:
+                value = float(jnp.percentile(magnitude, percentile))
             absmax[path] = max(absmax.get(path, 0.0), value)
         return next_fn(*args, **kwargs)
 
@@ -128,37 +137,26 @@ def _quantized_conv(module: nn.Conv, x: jnp.ndarray, act_scale: float):
 
 
 def _quantized_conv_transpose(module, x: jnp.ndarray, act_scale: float):
-    """int8 version of models.layers.TorchConvTranspose: dilate the
-    quantized input and correlate with the flipped quantized kernel."""
-    kernel = module.variables["params"]["kernel"].astype(jnp.float32)
-    w_absmax = jnp.max(jnp.abs(kernel.reshape(-1, kernel.shape[-1])), axis=0)
-    w_scale = jnp.maximum(w_absmax, 1e-6) / 127.0
-    q_kernel = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+    """int8 version of models.layers.TorchConvTranspose via the
+    phase decomposition (ops/conv_transpose.py): s*s dense int8 convs on
+    the raw input instead of one conv over the 3/4-zeros dilated input."""
+    from tauv_vision_tpu.ops.conv_transpose import (
+        quantized_conv_transpose_phase,
+    )
 
-    q_x = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / act_scale), -127, 127
-    ).astype(jnp.int8)
-
-    k, s, p, op = (
-        module.kernel_size, module.stride, module.padding,
+    bias = (
+        module.variables["params"]["bias"] if module.use_bias else None
+    )
+    return quantized_conv_transpose_phase(
+        x,
+        module.variables["params"]["kernel"],
+        module.stride,
+        module.padding,
         module.output_padding,
+        act_scale,
+        bias=bias,
+        out_dtype=module.dtype or x.dtype,
     )
-    pad_lo = k - 1 - p
-    pad_hi = k - 1 - p + op
-    flipped = jnp.flip(q_kernel, axis=(0, 1))
-    acc = jax.lax.conv_general_dilated(
-        q_x,
-        flipped,
-        window_strides=(1, 1),
-        padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
-        lhs_dilation=(s, s),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
-    out = acc.astype(jnp.float32) * (act_scale * w_scale)
-    if module.use_bias:
-        out = out + module.variables["params"]["bias"].astype(jnp.float32)
-    return out.astype(module.dtype or x.dtype)
 
 
 def quantized_call(

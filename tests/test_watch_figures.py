@@ -5,6 +5,8 @@ centernet/scripts/train.py:93-101)."""
 import json
 import pathlib
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -173,3 +175,76 @@ def test_yolact_figure_fn(tmp_path):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+@pytest.mark.slow
+def test_centernet_train_step_watch():
+    """make_centernet_train_step(watch=True) returns (state, losses,
+    stats) with per-layer grad stats (the factory path the train
+    scripts' --watch-every uses)."""
+    from math import pi
+
+    from tauv_vision_tpu.configs import (
+        AngleConfig,
+        CenternetModelConfig,
+        CenternetTrainConfig,
+        ObjectConfig,
+        ObjectConfigSet,
+    )
+    from tauv_vision_tpu.data.synthetic import (
+        SquareDatasetConfig,
+        generate_square_batch,
+    )
+    from tauv_vision_tpu.models.centernet import Centernet
+    from tauv_vision_tpu.train import make_centernet_train_step
+
+    object_config = ObjectConfigSet(configs=(
+        ObjectConfig(
+            id="square", yaw=AngleConfig(train=False, modulo=2 * pi),
+            pitch=AngleConfig(train=False, modulo=2 * pi),
+            roll=AngleConfig(train=False, modulo=2 * pi),
+            train_depth=False, train_keypoints=False, keypoints=None,
+        ),
+    ))
+    model_config = CenternetModelConfig(
+        in_h=32, in_w=32, backbone_heights=(1,), backbone_channels=(8, 8),
+        downsamples=2, angle_bin_overlap=pi / 3,
+    )
+    train_config = CenternetTrainConfig(
+        lr=1e-3, batch_size=2, n_batches=0, n_epochs=1,
+        heatmap_focal_loss_a=2.0, heatmap_focal_loss_b=4.0,
+        heatmap_sigma_factor=0.1, keypoint_heatmap_sigma=1.0,
+        keypoint_affinity_sigma=2.0, loss_lambda_keypoint_heatmap=1.0,
+        loss_lambda_keypoint_affinity=1.0, loss_lambda_size=0.1,
+        loss_lambda_offset=1.0, loss_lambda_angle=1.0,
+        loss_lambda_depth=1.0, max_objects=2, max_keypoints=4,
+    )
+    model = Centernet(
+        object_config=object_config, backbone_heights=(1,),
+        backbone_channels=(8, 8), downsamples=2,
+    )
+    img0 = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.key(0), img0, train=False)
+    from tauv_vision_tpu.train import adam_with_clip
+
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=adam_with_clip(1e-3, 1.0),
+    )
+    step = make_centernet_train_step(
+        model, model_config, train_config, object_config, watch=True
+    )
+    rng = np.random.default_rng(0)
+    img, truth = generate_square_batch(
+        rng, 2,
+        SquareDatasetConfig(in_h=32, in_w=32, max_objects=2, min_side=6,
+                            max_side=12),
+    )
+    truth = jax.tree_util.tree_map(jnp.asarray, truth)
+    new_state, losses, stats = step(state, jnp.asarray(img), truth)
+    assert np.isfinite(float(losses.total))
+    assert "watch/global_grad_norm" in stats
+    grad_keys = [k for k in stats if k.endswith("/grad_norm")]
+    assert len(grad_keys) > 5
+    assert all(np.isfinite(float(v)) for v in stats.values())
