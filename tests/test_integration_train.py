@@ -210,6 +210,7 @@ def test_yolact_single_batch_overfit():
         assert np.isfinite(float(getattr(losses, field)))
 
 
+@pytest.mark.slow
 def test_centernet_train_step_dp_mesh():
     """The same train step under an 8-way data-parallel mesh produces a
     finite loss and replicated state (SURVEY.md §2.9 DP requirement)."""

@@ -10,6 +10,8 @@ equivalence: an 8-way data-parallel step equals the single-device step.
 
 from math import pi
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -77,6 +79,7 @@ def _assert_tree_close(a, b, atol, what):
         )
 
 
+@pytest.mark.slow
 def test_centernet_2d_mesh_train_step_equivalence():
     """(data=4, model=2): width-sharded activations through the DLA
     backbone -> identical losses and updated params vs the unsharded
@@ -120,6 +123,7 @@ def test_centernet_2d_mesh_train_step_equivalence():
     )
 
 
+@pytest.mark.slow
 def test_yolact_2d_mesh_train_step_equivalence():
     """Protonet/FPN activations width-sharded over the model axis."""
     cfg = YolactModelConfig(
@@ -181,6 +185,7 @@ def test_yolact_2d_mesh_train_step_equivalence():
     _assert_tree_l2_close(mesh_state.params, base_state.params, 1e-2, "params")
 
 
+@pytest.mark.slow
 def test_centernet_dp_grad_equivalence_1_vs_8():
     """One DP step over the full 8-way mesh must equal the single-device
     step on the same batch (the all-reduced mean gradient is the same
