@@ -37,7 +37,15 @@ def _is_torch_conv_transpose(module) -> bool:
     return type(module).__name__ == "TorchConvTranspose"
 
 
+def _is_s2d_stem(module) -> bool:
+    return type(module).__name__ == "S2DStemConv"
+
+
 def _should_quantize(module, x, min_in_channels: int) -> bool:
+    if _is_s2d_stem(module):
+        # Effective contraction is f*f*C_in — the whole point of the
+        # phase stem; always quantizable.
+        return x.ndim == 4
     if not (isinstance(module, nn.Conv) or _is_torch_conv_transpose(module)):
         return False
     if x.ndim != 4:
@@ -159,6 +167,41 @@ def _quantized_conv_transpose(module, x: jnp.ndarray, act_scale: float):
     )
 
 
+def _quantized_s2d_stem(module, x: jnp.ndarray, act_scale: float):
+    """int8 space-to-depth stem: quantize the phase tensor (same values
+    as the image, so the calibrated scale transfers), fold the f32
+    kernel, quantize per folded output channel, int8 conv, dequant."""
+    from tauv_vision_tpu.ops.space_to_depth import (
+        depth_to_space,
+        fold_conv_s2d_weights,
+        space_to_depth,
+    )
+
+    kernel = module.variables["params"]["kernel"].astype(jnp.float32)
+    folded, pad, po = fold_conv_s2d_weights(
+        kernel, module.f, module.stride, module.kernel_size // 2
+    )
+    c_out = folded.shape[-1]
+    w_absmax = jnp.max(jnp.abs(folded.reshape(-1, c_out)), axis=0)
+    w_scale = jnp.maximum(w_absmax, 1e-6) / 127.0
+    q_kernel = jnp.clip(jnp.round(folded / w_scale), -127, 127).astype(
+        jnp.int8
+    )
+
+    xs = space_to_depth(x.astype(jnp.float32), module.f)
+    q_x = jnp.clip(jnp.round(xs / act_scale), -127, 127).astype(jnp.int8)
+
+    acc = jax.lax.conv_general_dilated(
+        q_x, q_kernel, (1, 1), (tuple(pad), tuple(pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (act_scale * w_scale)
+    if po > 1:
+        out = depth_to_space(out, po)
+    return out.astype(module.dtype or x.dtype)
+
+
 def quantized_call(
     apply_fn,
     scales: Dict[str, float],
@@ -184,6 +227,10 @@ def quantized_call(
             if path in scales:
                 if _is_torch_conv_transpose(context.module):
                     return _quantized_conv_transpose(
+                        context.module, args[0], scales[path]
+                    )
+                if _is_s2d_stem(context.module):
+                    return _quantized_s2d_stem(
                         context.module, args[0], scales[path]
                     )
                 return _quantized_conv(context.module, args[0], scales[path])

@@ -53,3 +53,47 @@ def test_fold_conv_s2d_exact(kh, cin, cout, stride, f, h, w):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4
     )
+
+
+def test_s2d_stem_module_matches_plain_conv():
+    """S2DStemConv (models/layers.py) == nn.Conv with the same kernel."""
+    import flax.linen as nn
+
+    from tauv_vision_tpu.models.layers import S2DStemConv
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 3)).astype(np.float32))
+    module = S2DStemConv(8, 7, stride=1, f=4)
+    variables = module.init(jax.random.key(0), x)
+    got = module.apply(variables, x)
+
+    ref = jax.lax.conv_general_dilated(
+        x, variables["params"]["kernel"], (1, 1), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_s2d_stem_int8_path():
+    """The quantize interceptor routes S2DStemConv through the int8
+    phase form; output stays close to the float stem."""
+    from tauv_vision_tpu.models.layers import S2DStemConv
+    from tauv_vision_tpu.serving.quantize import calibrate, quantized_call
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.uniform(-2, 2, (2, 16, 24, 3)).astype(np.float32)
+    )
+    module = S2DStemConv(8, 7, stride=1, f=2)
+    variables = module.init(jax.random.key(0), x)
+
+    apply_fn = lambda b: module.apply(variables, b)  # noqa: E731
+    scales = calibrate(apply_fn, [x])
+    assert len(scales) == 1, "stem must be calibrated despite C_in=3"
+    q_out = quantized_call(apply_fn, scales)(x)
+    f_out = apply_fn(x)
+    err = np.abs(np.asarray(q_out) - np.asarray(f_out)).max()
+    scale = float(np.abs(np.asarray(f_out)).max())
+    assert err < 0.05 * scale, (err, scale)
