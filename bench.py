@@ -43,7 +43,8 @@ def _enable_compilation_cache():
 
 
 
-def build_centernet(deform: bool = True):
+def build_centernet(deform: bool = True, dcn_impl: str = "pallas",
+                    dcn_max_offset: int = 3):
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +83,8 @@ def build_centernet(deform: bool = True):
         downsamples=2, angle_bin_overlap=pi / 3,
     )
     model = CenterpointDLA34(
-        object_config=object_config, dtype=jnp.bfloat16, deform=deform
+        object_config=object_config, dtype=jnp.bfloat16, deform=deform,
+        dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
     )
     img = jnp.zeros((1, BENCH_H, BENCH_W, 3), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, img, train=False))(
@@ -420,6 +422,18 @@ def main():
     # work; its shift-window formulation is exact for |offset| <= 3 but
     # VPU-bound (~40 fps vs ~1500 for plain conv at this size).
     deform = "--deform" in sys.argv
+    # --dcn-impl {pallas,shift,gather}: deformable implementation for the
+    # --deform path.  Default pallas (ops/pallas/deform_conv.py).
+    dcn_impl = "pallas"
+    if "--dcn-impl" in sys.argv:
+        dcn_impl = sys.argv[sys.argv.index("--dcn-impl") + 1]
+    # --dcn-max-offset R: shift-window radius.  R=3 is the
+    # exactness-tested default; smaller R serves faster (VPU work and
+    # kernel size scale with (2R+2)^2) at the cost of clamping rarer
+    # large offsets.
+    dcn_max_offset = 3
+    if "--dcn-max-offset" in sys.argv:
+        dcn_max_offset = int(sys.argv[sys.argv.index("--dcn-max-offset") + 1])
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (batch_size, BENCH_H, BENCH_W, 3),
@@ -431,7 +445,7 @@ def main():
     frames = jnp.asarray(frames)
 
     cn_pipeline, cn_vars, cn_model, cn_cfg, cn_raw = build_centernet(
-        deform=deform
+        deform=deform, dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset
     )
     yl_pipeline, yl_vars, yl_model, yl_cfg, yl_raw = build_yolact()
 
@@ -470,6 +484,7 @@ def main():
         "detail": {
             "batch_size": batch_size,
             "deform_conv": deform,
+            "dcn_impl": dcn_impl if deform else None,
             "int8": int8,
             "centernet_fps": round(batch_size / cn_time, 2),
             "yolact_fps": round(batch_size / yl_time, 2),

@@ -359,6 +359,7 @@ class IDAUpStage(nn.Module):
     up_factors: Sequence[int]  # per input index >= 1
     deform: bool = True
     dcn_impl: str = "shift"
+    dcn_max_offset: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -367,7 +368,8 @@ class IDAUpStage(nn.Module):
         for i in range(1, len(layers)):
             projected = DeformConvBlock(
                 self.out_channels, deform=self.deform,
-                dcn_impl=self.dcn_impl, dtype=self.dtype,
+                dcn_impl=self.dcn_impl,
+                dcn_max_offset=self.dcn_max_offset, dtype=self.dtype,
                 name=f"proj_{i}",
             )(layers[i], train=train)
             upsampled = DepthwiseUpsample(
@@ -376,7 +378,8 @@ class IDAUpStage(nn.Module):
             upsampled = pad_to_match(upsampled, layers[i - 1].shape[1:3])
             layers[i] = DeformConvBlock(
                 self.out_channels, deform=self.deform,
-                dcn_impl=self.dcn_impl, dtype=self.dtype,
+                dcn_impl=self.dcn_impl,
+                dcn_max_offset=self.dcn_max_offset, dtype=self.dtype,
                 name=f"node_{i}",
             )(upsampled + layers[i - 1], train=train)
         return layers
@@ -389,6 +392,7 @@ class DLAUp(nn.Module):
     channels: Sequence[int]  # channels of the consumed levels
     deform: bool = True
     dcn_impl: str = "shift"
+    dcn_max_offset: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -407,6 +411,7 @@ class DLAUp(nn.Module):
                 (scales[j:] // scales[j]).tolist(),
                 deform=self.deform,
                 dcn_impl=self.dcn_impl,
+                dcn_max_offset=self.dcn_max_offset,
                 dtype=self.dtype,
                 name=f"ida_{i}",
             )
@@ -428,6 +433,7 @@ class DLASeg(nn.Module):
     heatmap_head_indices: Tuple[int, ...] = (0,)
     deform: bool = True
     dcn_impl: str = "shift"
+    dcn_max_offset: int = 3
     stem_s2d: int = 0
     dtype: jnp.dtype = jnp.float32
 
@@ -442,6 +448,7 @@ class DLASeg(nn.Module):
         channels = list(DLA34_CHANNELS[first_level:])
         dla_up_out = DLAUp(
             channels, deform=self.deform, dcn_impl=self.dcn_impl,
+            dcn_max_offset=self.dcn_max_offset,
             dtype=self.dtype, name="dla_up",
         )(levels[first_level:], train=train)
 
@@ -449,7 +456,8 @@ class DLASeg(nn.Module):
         up_factors = [2**i for i in range(self.last_level - first_level)]
         y = IDAUpStage(
             channels[0], up_factors, deform=self.deform,
-            dcn_impl=self.dcn_impl, dtype=self.dtype,
+            dcn_impl=self.dcn_impl, dcn_max_offset=self.dcn_max_offset,
+            dtype=self.dtype,
             name="ida_up",
         )(y, train=train)
         features = y[-1]
@@ -480,6 +488,7 @@ class CenterpointDLA34(nn.Module):
     head_conv: int = 256
     deform: bool = True
     dcn_impl: str = "shift"
+    dcn_max_offset: int = 3
     stem_s2d: int = 0
 
     @nn.compact
@@ -498,6 +507,7 @@ class CenterpointDLA34(nn.Module):
                 heatmap_head_indices=tuple(heatmap_heads),
                 deform=self.deform,
                 dcn_impl=self.dcn_impl,
+                dcn_max_offset=self.dcn_max_offset,
                 stem_s2d=self.stem_s2d,
                 dtype=self.dtype,
                 name="model",

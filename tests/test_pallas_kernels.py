@@ -86,7 +86,7 @@ def test_deform_conv_pallas_matches_gather():
     ref = deform_conv2d(x, offset, mask, weight, bias, stride=1, padding=1)
     got = deform_conv2d_pallas(
         x, offset, mask, weight, bias, padding=1, max_offset=r,
-        rows_per_strip=4, interpret=True,
+        cols_per_block=8, interpret=True,
     )
     assert got.shape == ref.shape
     np.testing.assert_allclose(
@@ -99,7 +99,7 @@ def test_deform_conv_pallas_no_mask_uneven_strips():
     from tauv_vision_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
 
     rng = np.random.default_rng(4)
-    b, h, w, c, o, r = 1, 7, 8, 4, 4, 1
+    b, h, w, c, o, r = 1, 7, 10, 4, 4, 1  # 10 cols: 2nd block is partial
     x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
     offset = jnp.asarray(
         rng.uniform(-r, r, (b, h, w, 18)).astype(np.float32)
@@ -110,7 +110,7 @@ def test_deform_conv_pallas_no_mask_uneven_strips():
     ref = deform_conv2d(x, offset, None, weight, None, stride=1, padding=1)
     got = deform_conv2d_pallas(
         x, offset, None, weight, None, padding=1, max_offset=r,
-        rows_per_strip=4, interpret=True,
+        cols_per_block=8, interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
