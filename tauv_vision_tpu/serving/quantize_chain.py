@@ -1,0 +1,422 @@
+"""Chain-fused int8 serving forwards.
+
+``serving/quantize.py`` quantizes each conv independently: quantize the
+bf16 input, int8 conv, dequantize to bf16.  XLA fuses the elementwise
+work, but every layer boundary still materializes a bf16 activation
+buffer *and* an int8 copy of it (conv operands cannot fuse), so the int8
+path pays ~3x the activation traffic of a pure int8 chain and lands at
+~42% of the int8 roofline (BENCH.md).
+
+This module re-expresses the hot model forwards so activations stay int8
+from conv to conv:
+
+- each conv's epilogue (dequant scale, folded BatchNorm affine,
+  relu/leaky-relu, requantize to the NEXT conv's calibrated input scale,
+  round, clip, int8 cast) fuses into the conv output — the inter-layer
+  buffer is int8;
+- BatchNorm (inference = per-channel affine) folds into the epilogue
+  multiplier/offset, removing the separate bf16 BN pass;
+- residual joins and feature taps, which the reference semantics keep in
+  full precision, stay bf16.
+
+Calibration scales come from ``serving.quantize.calibrate`` on the same
+model — module paths are identical, so cached scales transfer.  The
+requant math matches the per-layer path up to where rounding happens
+(the unfused path rounds through bf16 at every boundary; the chain
+rounds once, in f32), verified close by tests/test_quantize_chain.py.
+
+Covers the YOLACT serving stack (ResNet-18 backbone, FPN, protonet,
+prediction head — yolact/model/model.py:18-60) and the CenterNet
+DLA-34 stack (centerpoint_dla.py:476-531).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _get(tree, path: str):
+    node = tree
+    for part in path.split("/"):
+        node = node[part]
+    return node
+
+
+def _wq(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel symmetric int8 weight quantization (HWIO)."""
+    kernel = kernel.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(kernel.reshape(-1, kernel.shape[-1])), axis=0)
+    scale = jnp.maximum(absmax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(kernel / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quant(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+
+
+def _bn_affine(params, stats) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference BatchNorm as y = g*x + b (per channel, f32)."""
+    g = params["scale"].astype(jnp.float32) / jnp.sqrt(
+        stats["var"].astype(jnp.float32) + BN_EPS
+    )
+    b = params["bias"].astype(jnp.float32) - stats["mean"].astype(
+        jnp.float32
+    ) * g
+    return g, b
+
+
+def _leaky(y):
+    return jax.nn.leaky_relu(y)  # slope 0.01, the reference default
+
+
+class ChainCtx:
+    """Parameters + calibration scales for a chain-fused forward."""
+
+    def __init__(self, variables, scales: Dict[str, float],
+                 dtype=jnp.bfloat16):
+        self.params = variables["params"]
+        self.stats = variables.get("batch_stats", {})
+        self.scales = scales
+        self.dtype = dtype
+
+    def s(self, path: str) -> float:
+        return self.scales[path]
+
+    def bn(self, path: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return _bn_affine(_get(self.params, path), _get(self.stats, path))
+
+    def has(self, path: str) -> bool:
+        return path in self.scales
+
+    def run_layer(
+        self,
+        inp: jnp.ndarray,
+        path: str,
+        *,
+        strides=(1, 1),
+        padding=1,
+        transpose: bool = False,
+        bn_path: Optional[str] = None,
+        act: Optional[str] = None,
+        next_path: Optional[str] = None,
+    ) -> jnp.ndarray:
+        """One conv (or phase transposed conv) + fused epilogue.
+
+        Runs int8 when the layer was calibrated, bf16 otherwise (narrow
+        layers fall below calibration's min_in_channels).  Emits int8 in
+        ``next_path``'s scale when that layer is calibrated — by
+        construction the consumer is exactly ``next_path``, so an int8
+        input always arrives in the right scale — float otherwise.
+        """
+        from tauv_vision_tpu.ops.conv_transpose import conv_transpose_phase
+
+        p = _get(self.params, path)
+        bias = p.get("bias")
+        bias = None if bias is None else bias.astype(jnp.float32)
+        if isinstance(padding, int):
+            padding = ((padding, padding), (padding, padding))
+
+        if self.has(path):
+            q = inp if inp.dtype == jnp.int8 else _quant(inp, self.s(path))
+            qk, w_scale = _wq(p["kernel"])
+            if transpose:
+                acc = conv_transpose_phase(
+                    q, qk, stride=2, padding=1, output_padding=1,
+                    preferred_element_type=jnp.int32,
+                )
+            else:
+                acc = jax.lax.conv_general_dilated(
+                    q, qk, window_strides=tuple(strides), padding=padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+            y = acc.astype(jnp.float32) * (self.s(path) * w_scale)
+        else:
+            assert inp.dtype != jnp.int8, (
+                f"producer emitted int8 but {path} is uncalibrated"
+            )
+            xf = inp.astype(self.dtype)
+            k = p["kernel"].astype(self.dtype)
+            if transpose:
+                y = conv_transpose_phase(xf, k, 2, 1, 1)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    xf, k, window_strides=tuple(strides), padding=padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            y = y.astype(jnp.float32)
+
+        if bias is not None:
+            y = y + bias
+        if bn_path is not None:
+            g, b = self.bn(bn_path)
+            y = y * g + b
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        elif act == "leaky":
+            y = _leaky(y)
+        if next_path is not None and self.has(next_path):
+            return _quant(y, self.s(next_path))
+        return y.astype(self.dtype)
+
+
+# ------------------------------------------------------- ResNet-18 chain
+
+
+def _basic_block(ctx: ChainCtx, x, prefix: str, stride: int,
+                 downsample: bool):
+    """BasicBlock (models/resnet.py:30-71) with the conv1->conv2 link in
+    int8.  The residual join stays bf16 (reference semantics).  Returns
+    (out, pre_residual_tap)."""
+    q1 = ctx.run_layer(
+        x, f"{prefix}/conv1", strides=(stride, stride), padding=1,
+        bn_path=f"{prefix}/bn1", act="relu", next_path=f"{prefix}/conv2",
+    )
+    pre_residual = ctx.run_layer(q1, f"{prefix}/conv2", padding=1,
+                                 bn_path=f"{prefix}/bn2")
+    if downsample:
+        identity = ctx.run_layer(
+            x, f"{prefix}/downsample_conv", strides=(stride, stride),
+            padding=0, bn_path=f"{prefix}/downsample_bn",
+        )
+    else:
+        identity = x
+    out = jnp.maximum(
+        pre_residual.astype(jnp.float32) + identity.astype(jnp.float32), 0.0
+    ).astype(ctx.dtype)
+    return out, pre_residual
+
+
+def resnet18_chain(ctx: ChainCtx, img) -> Tuple[jnp.ndarray, ...]:
+    """Chain-int8 Resnet18Features forward (models/resnet.py:74-119).
+    The 3-channel stem stays bf16 (too narrow to quantize, matching
+    serving/quantize.py's min_in_channels policy; run_layer falls back
+    on the missing scale)."""
+    import flax.linen as nn
+
+    x = ctx.run_layer(
+        img, "backbone/conv1", strides=(2, 2), padding=3,
+        bn_path="backbone/bn1", act="relu",
+    )
+    x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+    taps = []
+    plan = [(64, 1, False), (128, 2, True), (256, 2, True), (512, 2, True)]
+    for layer_i, (_, stride, downsample) in enumerate(plan, start=1):
+        x, _ = _basic_block(
+            ctx, x, f"backbone/layer{layer_i}_0", stride, downsample
+        )
+        x, tap = _basic_block(
+            ctx, x, f"backbone/layer{layer_i}_1", 1, False
+        )
+        if layer_i >= 2:
+            taps.append(tap.astype(jnp.float32))
+    return tuple(taps)
+
+
+# ------------------------------------------------------------- FPN chain
+
+
+def fpn_chain(ctx: ChainCtx, backbone_outputs, n_downsample: int):
+    """Chain-int8 FeaturePyramid forward (models/fpn.py:26-66).  The
+    top-down bilinear-resize sum stays bf16 (cross-scale join)."""
+    from tauv_vision_tpu.ops.image import resize_bilinear
+
+    n_in = len(backbone_outputs)
+    laterals = [
+        ctx.run_layer(backbone_outputs[i], f"fpn/lateral_{i}", padding=0)
+        for i in range(n_in)
+    ]
+
+    pyramid = [None] * n_in
+    pyramid[-1] = laterals[-1]
+    for i in range(n_in - 2, -1, -1):
+        above = jnp.moveaxis(pyramid[i + 1], -1, -3)
+        above = resize_bilinear(above, laterals[i].shape[1:3])
+        pyramid[i] = laterals[i] + jnp.moveaxis(above, -3, -1).astype(
+            laterals[i].dtype
+        )
+
+    outputs = [
+        ctx.run_layer(pyramid[i], f"fpn/prediction_{i}", padding=1,
+                      act="leaky")
+        for i in range(n_in)
+    ]
+    for i in range(n_downsample):
+        outputs.append(
+            ctx.run_layer(outputs[-1], f"fpn/downsample_{i}",
+                          strides=(2, 2), padding=1, act="leaky")
+        )
+    return outputs
+
+
+# -------------------------------------------------------- protonet chain
+
+
+def protonet_chain(ctx: ChainCtx, fpn0, n_pre: int, n_post: int):
+    """Chain-int8 Protonet forward (models/protonet.py:24-60): every
+    conv->leaky->conv(T) link stays int8."""
+    chain = (
+        [f"protonet/pre_{i}" for i in range(n_pre)]
+        + ["protonet/upsample_1"]
+        + [f"protonet/mid_{i}" for i in range(n_post)]
+        + ["protonet/upsample_2"]
+        + [f"protonet/post_{i}" for i in range(n_post)]
+        + ["protonet/output"]
+    )
+    x = fpn0
+    for i, path in enumerate(chain):
+        next_path = chain[i + 1] if i + 1 < len(chain) else None
+        x = ctx.run_layer(
+            x, path,
+            transpose="upsample" in path,
+            padding=0 if path.endswith("output") else 1,
+            act="leaky",
+            next_path=next_path,
+        )
+    return x.astype(jnp.float32)
+
+
+# ------------------------------------------------- prediction head chain
+
+
+def _extra_stage(ctx: ChainCtx, x, prefix: str):
+    """ExtraStage (models/prediction_head.py:56-71): bottleneck convs
+    chain in int8; the relu(conv + bn) join stays bf16."""
+    bp = f"{prefix}/bottleneck"
+    q = ctx.run_layer(x, f"{bp}/conv1", padding=0, bn_path=f"{bp}/bn1",
+                      act="relu", next_path=f"{bp}/conv2")
+    q = ctx.run_layer(q, f"{bp}/conv2", padding=1, bn_path=f"{bp}/bn2",
+                      act="relu", next_path=f"{bp}/conv3")
+    pre = ctx.run_layer(q, f"{bp}/conv3", padding=0, bn_path=f"{bp}/bn3")
+    bottleneck = jnp.maximum(
+        pre.astype(jnp.float32) + x.astype(jnp.float32), 0.0
+    )
+
+    # stage bn applies to the bottleneck output; parallel 1x1 conv on x.
+    g, b = ctx.bn(f"{prefix}/bn")
+    bn_out = bottleneck * g + b
+    conv_out = ctx.run_layer(x, f"{prefix}/conv", padding=0)
+    return jnp.maximum(
+        conv_out.astype(jnp.float32) + bn_out, 0.0
+    ).astype(ctx.dtype)
+
+
+def prediction_head_chain(
+    ctx: ChainCtx, fpn_output, *, n_classes: int, n_prototype_masks: int,
+    n_shared: int, n_cls: int, n_box: int, n_mask: int,
+):
+    """Chain-int8 PredictionHead forward (models/prediction_head.py:74-134)
+    for one FPN level."""
+    x = fpn_output
+    for i in range(n_shared):
+        x = _extra_stage(ctx, x, f"prediction_head/shared_{i}")
+
+    def branch(x, stages, stage_fmt, out_path):
+        for i in range(stages):
+            x = _extra_stage(ctx, x, stage_fmt.format(i))
+        return ctx.run_layer(x, out_path, padding=1)
+
+    b = fpn_output.shape[0]
+    classification = branch(
+        x, n_cls, "prediction_head/cls_{}", "prediction_head/classification"
+    ).reshape(b, -1, n_classes + 1)
+    box = branch(
+        x, n_box, "prediction_head/box_{}", "prediction_head/box"
+    ).reshape(b, -1, 4)
+    mask = jnp.tanh(
+        branch(
+            x, n_mask, "prediction_head/mask_{}", "prediction_head/mask"
+        ).reshape(b, -1, n_prototype_masks).astype(jnp.float32)
+    )
+    return (
+        classification.astype(jnp.float32),
+        box.astype(jnp.float32),
+        mask,
+    )
+
+
+
+# ------------------------------------------------------ YOLACT assembly
+
+
+def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
+                         dtype=jnp.bfloat16):
+    """Returns ``fn(img) -> YolactPrediction`` running the chain-int8
+    YOLACT forward (models/yolact.py:50-116)."""
+    from tauv_vision_tpu.models.yolact import YolactPrediction
+    from tauv_vision_tpu.ops.anchors import get_all_anchors
+
+    cfg = model_config
+    ctx = ChainCtx(variables, scales, dtype=dtype)
+    anchor = jnp.asarray(
+        get_all_anchors(cfg.in_h, cfg.in_w, cfg.n_fpn_levels,
+                        cfg.anchor_scales, cfg.anchor_aspect_ratios)
+    )
+
+    def forward(img):
+        taps = resnet18_chain(ctx, img)
+        fpn_outputs = fpn_chain(ctx, taps, cfg.n_fpn_downsample_layers)
+        proto = protonet_chain(
+            ctx, fpn_outputs[0], cfg.n_masknet_layers_pre_upsample,
+            cfg.n_masknet_layers_post_upsample,
+        )
+        cls_l, box_l, mask_l = [], [], []
+        for f in fpn_outputs:
+            c, bx, mk = prediction_head_chain(
+                ctx, f, n_classes=cfg.n_classes,
+                n_prototype_masks=cfg.n_prototype_masks,
+                n_shared=cfg.n_prediction_head_layers,
+                n_cls=cfg.n_classification_layers,
+                n_box=cfg.n_box_layers, n_mask=cfg.n_mask_layers,
+            )
+            cls_l.append(c)
+            box_l.append(bx)
+            mask_l.append(mk)
+        return YolactPrediction(
+            classification=jnp.concatenate(cls_l, axis=1),
+            box_encoding=jnp.concatenate(box_l, axis=1),
+            mask_coeff=jnp.concatenate(mask_l, axis=1),
+            anchor=anchor,
+            mask_prototype=proto,
+        )
+
+    return forward
+
+
+def make_yolact_chain_pipeline(
+    model_config, variables, scales: Dict[str, float],
+    top_k: int = 20, iou_threshold: float = 0.5,
+    confidence_threshold: float = 0.5, dtype=jnp.bfloat16, jit: bool = True,
+):
+    """uint8 frames -> decoded YolactDetections via the chain-int8
+    forward (drop-in for make_yolact_pipeline + quantized_call)."""
+    from tauv_vision_tpu.ops.image import preprocess
+    from tauv_vision_tpu.serving.yolact_decode import decode_yolact
+
+    cfg = model_config
+    forward = yolact_chain_forward(cfg, variables, scales, dtype=dtype)
+
+    def pipeline(img_uint8):
+        img = preprocess(
+            img_uint8, (cfg.in_h, cfg.in_w), cfg.img_mean, cfg.img_stddev,
+            dtype=dtype,
+        )
+        prediction = forward(img)
+        return decode_yolact(
+            prediction, cfg, top_k, iou_threshold, confidence_threshold
+        )
+
+    return jax.jit(pipeline) if jit else pipeline

@@ -1,0 +1,71 @@
+"""Chain-fused int8 YOLACT (serving/quantize_chain.py) vs the per-layer
+int8 path (serving/quantize.py) and the float reference.
+
+The chain forward re-expresses the same quantized math with activations
+kept int8 across conv->conv links (BN folded into the requant epilogue),
+so it must land close to the per-layer int8 output — the two differ only
+in where rounding happens — and within the same distance of the float
+path that the per-layer test (tests/test_quantize.py) accepts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tauv_vision_tpu.serving.quantize import calibrate, quantized_call
+
+
+def _small_cfg():
+    from tauv_vision_tpu.configs import YolactModelConfig
+
+    return YolactModelConfig(
+        in_w=64, in_h=64, feature_depth=16, n_classes=2, n_prototype_masks=4,
+        n_masknet_layers_pre_upsample=1, n_masknet_layers_post_upsample=1,
+        n_prediction_head_layers=1, n_classification_layers=0,
+        n_box_layers=0, n_mask_layers=0, n_fpn_downsample_layers=2,
+        anchor_scales=(12, 24, 48, 96, 192), anchor_aspect_ratios=(1.0,),
+        box_variances=(0.1, 0.2), iou_pos_threshold=0.5,
+        iou_neg_threshold=0.4, negative_example_ratio=3,
+    )
+
+
+@pytest.mark.slow
+def test_yolact_chain_matches_per_layer_int8():
+    from tauv_vision_tpu.models.yolact import Yolact
+    from tauv_vision_tpu.serving.quantize_chain import yolact_chain_forward
+
+    cfg = _small_cfg()
+    model = Yolact(cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    apply_fn = lambda b: model.apply(variables, b, train=False)  # noqa: E731
+
+    scales = calibrate(apply_fn, [x])
+    per_layer = jax.jit(quantized_call(apply_fn, scales))(x)
+    chain = jax.jit(
+        yolact_chain_forward(cfg, variables, scales, dtype=jnp.float32)
+    )(x)
+    ref = apply_fn(x)
+
+    for field in ("classification", "box_encoding", "mask_coeff",
+                  "mask_prototype"):
+        c = np.asarray(getattr(chain, field))
+        p = np.asarray(getattr(per_layer, field))
+        r = np.asarray(getattr(ref, field))
+        assert c.shape == p.shape == r.shape, field
+        assert np.isfinite(c).all(), field
+        denom = np.abs(r).max() + 1e-9
+        # chain vs per-layer: same math, different rounding points.
+        assert np.abs(c - p).max() / denom < 0.2, (
+            field, np.abs(c - p).max() / denom
+        )
+        # chain vs float: the same bar the per-layer path meets.
+        assert np.abs(c - r).max() / denom < 0.5, (
+            field, np.abs(c - r).max() / denom
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(chain.anchor), np.asarray(ref.anchor), atol=1e-6
+    )
