@@ -32,21 +32,22 @@ def _conv_path(context) -> str:
     return "/".join(context.module.path)
 
 
-def _is_torch_conv_transpose(module) -> bool:
-    # Avoid a circular import; match by class name.
-    return type(module).__name__ == "TorchConvTranspose"
-
-
 def _is_s2d_stem(module) -> bool:
+    # Avoid a circular import; match by class name.
     return type(module).__name__ == "S2DStemConv"
 
 
 def _should_quantize(module, x, min_in_channels: int) -> bool:
+    # Transposed convs (TorchConvTranspose) deliberately stay bf16:
+    # measured on-chip at the protonet's shapes, int8 never wins there —
+    # the lhs-dilated int8 conv is ~1.4x SLOWER than the bf16 one, and
+    # the zero-free phase decomposition is 5x slower still (the int32
+    # phase concat + depth-to-space materialization dominates).
     if _is_s2d_stem(module):
         # Effective contraction is f*f*C_in — the whole point of the
         # phase stem; always quantizable.
         return x.ndim == 4
-    if not (isinstance(module, nn.Conv) or _is_torch_conv_transpose(module)):
+    if not isinstance(module, nn.Conv):
         return False
     if x.ndim != 4:
         return False
@@ -144,29 +145,6 @@ def _quantized_conv(module: nn.Conv, x: jnp.ndarray, act_scale: float):
     return out.astype(module.dtype or x.dtype)
 
 
-def _quantized_conv_transpose(module, x: jnp.ndarray, act_scale: float):
-    """int8 version of models.layers.TorchConvTranspose via the
-    phase decomposition (ops/conv_transpose.py): s*s dense int8 convs on
-    the raw input instead of one conv over the 3/4-zeros dilated input."""
-    from tauv_vision_tpu.ops.conv_transpose import (
-        quantized_conv_transpose_phase,
-    )
-
-    bias = (
-        module.variables["params"]["bias"] if module.use_bias else None
-    )
-    return quantized_conv_transpose_phase(
-        x,
-        module.variables["params"]["kernel"],
-        module.stride,
-        module.padding,
-        module.output_padding,
-        act_scale,
-        bias=bias,
-        out_dtype=module.dtype or x.dtype,
-    )
-
-
 def _quantized_s2d_stem(module, x: jnp.ndarray, act_scale: float):
     """int8 space-to-depth stem: quantize the phase tensor (same values
     as the image, so the calibrated scale transfers), fold the f32
@@ -225,10 +203,6 @@ def quantized_call(
         ):
             path = _conv_path(context)
             if path in scales:
-                if _is_torch_conv_transpose(context.module):
-                    return _quantized_conv_transpose(
-                        context.module, args[0], scales[path]
-                    )
                 if _is_s2d_stem(context.module):
                     return _quantized_s2d_stem(
                         context.module, args[0], scales[path]

@@ -120,28 +120,32 @@ class ChainCtx:
         construction the consumer is exactly ``next_path``, so an int8
         input always arrives in the right scale — float otherwise.
         """
-        from tauv_vision_tpu.ops.conv_transpose import conv_transpose_phase
-
         p = _get(self.params, path)
         bias = p.get("bias")
         bias = None if bias is None else bias.astype(jnp.float32)
         if isinstance(padding, int):
             padding = ((padding, padding), (padding, padding))
 
-        if self.has(path):
+        if transpose:
+            # Transposed convs stay bf16-dilated: measured on-chip, int8
+            # never wins here (serving/quantize.py._should_quantize).
+            xf = (
+                inp.astype(jnp.float32) * self.s(path)
+                if inp.dtype == jnp.int8 else inp
+            ).astype(self.dtype)
+            flipped = jnp.flip(p["kernel"].astype(self.dtype), axis=(0, 1))
+            y = jax.lax.conv_general_dilated(
+                xf, flipped, (1, 1), ((1, 2), (1, 2)), lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(jnp.float32)
+        elif self.has(path):
             q = inp if inp.dtype == jnp.int8 else _quant(inp, self.s(path))
             qk, w_scale = _wq(p["kernel"])
-            if transpose:
-                acc = conv_transpose_phase(
-                    q, qk, stride=2, padding=1, output_padding=1,
-                    preferred_element_type=jnp.int32,
-                )
-            else:
-                acc = jax.lax.conv_general_dilated(
-                    q, qk, window_strides=tuple(strides), padding=padding,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32,
-                )
+            acc = jax.lax.conv_general_dilated(
+                q, qk, window_strides=tuple(strides), padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
             y = acc.astype(jnp.float32) * (self.s(path) * w_scale)
         else:
             assert inp.dtype != jnp.int8, (
@@ -149,14 +153,10 @@ class ChainCtx:
             )
             xf = inp.astype(self.dtype)
             k = p["kernel"].astype(self.dtype)
-            if transpose:
-                y = conv_transpose_phase(xf, k, 2, 1, 1)
-            else:
-                y = jax.lax.conv_general_dilated(
-                    xf, k, window_strides=tuple(strides), padding=padding,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-            y = y.astype(jnp.float32)
+            y = jax.lax.conv_general_dilated(
+                xf, k, window_strides=tuple(strides), padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(jnp.float32)
 
         if bias is not None:
             y = y + bias
