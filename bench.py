@@ -235,31 +235,36 @@ def time_decode(model, variables, model_config, frames, family, n_chain=16):
     return max(t2 - t1, 1e-9) / n_chain
 
 
-def quantize_pipeline(raw_pipeline, variables, frames, cache_key):
-    """Calibrate on a couple of frames (eager — the recorder must see
-    concrete activations, so the raw un-jitted pipeline is required) and
-    return the jitted int8-conv pipeline (serving/quantize.py).
-
-    Calibration scales are cached on disk: the bench models initialize
-    from a fixed seed and calibrate on fixed frames, so the scales are
-    deterministic and the eager pass (minutes over this image's relay)
-    only needs to run once."""
+def load_scales(raw_pipeline, variables, frames, cache_key):
+    """Calibration scales for the int8 paths, cached on disk: the bench
+    models initialize from a fixed seed and calibrate on fixed frames,
+    so the scales are deterministic and the eager pass (minutes over
+    this image's relay) only needs to run once."""
     import json
     import pathlib
 
-    import jax
-
-    from tauv_vision_tpu.serving.quantize import calibrate, quantized_call
+    from tauv_vision_tpu.serving.quantize import calibrate
 
     cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
     scales_path = cache_dir / f"calibration_{cache_key}.json"
     if scales_path.exists():
-        scales = json.loads(scales_path.read_text())
-    else:
-        cal = frames[:2]
-        scales = calibrate(lambda b: raw_pipeline(variables, b), [cal])
-        scales_path.write_text(json.dumps(scales))
+        return json.loads(scales_path.read_text())
+    cal = frames[:2]
+    scales = calibrate(lambda b: raw_pipeline(variables, b), [cal])
+    scales_path.write_text(json.dumps(scales))
+    return scales
+
+
+def quantize_pipeline(raw_pipeline, variables, frames, cache_key):
+    """Per-layer int8 pipeline (serving/quantize.py quantized_call);
+    the default serving profile uses the faster chain-fused forwards
+    (serving/quantize_chain.py) — this remains for --per-layer-int8."""
+    import jax
+
+    from tauv_vision_tpu.serving.quantize import quantized_call
+
+    scales = load_scales(raw_pipeline, variables, frames, cache_key)
     return jax.jit(
         quantized_call(lambda b: raw_pipeline(variables, b), scales)
     ), len(scales)
@@ -449,12 +454,43 @@ def main():
     )
     yl_pipeline, yl_vars, yl_model, yl_cfg, yl_raw = build_yolact()
 
-    # Default serving profile: int8 PTQ (serving/quantize.py), the
-    # production configuration that clears the 1000 fps north star
-    # (1048 fps at batch 128).  --bf16 selects the exact-parity float
-    # path (627 fps; the one the 1e-3 reference-parity tests cover).
+    # Default serving profile: chain-fused int8 PTQ
+    # (serving/quantize_chain.py) — activations stay int8 across conv
+    # links, BN folded into the requant epilogue.  --per-layer-int8
+    # selects the interceptor-based per-layer path (serving/quantize.py);
+    # --bf16 the exact-parity float path (the one the 1e-3
+    # reference-parity tests cover).  The chain path requires the
+    # no-deform CenterNet (the DCN paths serve via --per-layer-int8 or
+    # --bf16).
     int8 = "--bf16" not in sys.argv
-    if int8:
+    chain = int8 and not deform and "--per-layer-int8" not in sys.argv
+    if chain:
+        from tauv_vision_tpu.serving.quantize_chain import (
+            make_centernet_chain_pipeline,
+            make_yolact_chain_pipeline,
+        )
+
+        cn_scales = load_scales(
+            cn_raw, cn_vars, frames, f"centernet_b{batch_size}"
+        )
+        yl_scales = load_scales(
+            yl_raw, yl_vars, frames, f"yolact_b{batch_size}"
+        )
+        cn_q = make_centernet_chain_pipeline(
+            cn_cfg, cn_model.object_config, cn_vars, cn_scales,
+            n_detections=10, score_threshold=0.6,
+        )
+        yl_q = make_yolact_chain_pipeline(
+            yl_cfg, yl_vars, yl_scales, top_k=20, iou_threshold=0.5,
+            confidence_threshold=0.5,
+        )
+        print(
+            f"chain-int8: centernet={len(cn_scales)} yolact="
+            f"{len(yl_scales)} calibrated convs", file=sys.stderr,
+        )
+        cn_timed = lambda v, f: cn_q(f)  # noqa: E731
+        yl_timed = lambda v, f: yl_q(f)  # noqa: E731
+    elif int8:
         cn_q, n_cn = quantize_pipeline(
             cn_raw, cn_vars, frames, f"centernet_b{batch_size}"
         )
@@ -486,6 +522,8 @@ def main():
             "deform_conv": deform,
             "dcn_impl": dcn_impl if deform else None,
             "int8": int8,
+            "int8_mode": ("chain" if chain else "per-layer") if int8
+            else None,
             "centernet_fps": round(batch_size / cn_time, 2),
             "yolact_fps": round(batch_size / yl_time, 2),
             "decode_p50_ms": round(decode_p50 * 1e3, 3),

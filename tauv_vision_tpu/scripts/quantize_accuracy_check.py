@@ -161,6 +161,17 @@ def main(argv=None):
     bf16_fn = jax.jit(raw_pipeline)
     int8_fn = jax.jit(quantized_call(raw_pipeline, scales))
 
+    from tauv_vision_tpu.serving.quantize_chain import dla34_chain_forward
+
+    chain_forward = dla34_chain_forward(object_config, trained, scales)
+
+    def chain_pipeline(frames_uint8):
+        img = frames_uint8.astype(jnp.bfloat16) / 255.0
+        prediction = chain_forward(img)
+        return decode(prediction, model_config, 10, 0.3)
+
+    chain_fn = jax.jit(chain_pipeline)
+
     def collect(fn):
         out = []
         for frames in eval_frames:
@@ -172,9 +183,10 @@ def main(argv=None):
             ))
         return out
 
-    print("decoding bf16 + int8...", flush=True)
+    print("decoding bf16 + int8 (per-layer + chain)...", flush=True)
     dets_bf16 = collect(bf16_fn)
     dets_int8 = collect(int8_fn)
+    dets_chain = collect(chain_fn)
     truths = []
     for _, truth in eval_sets:
         truths.extend(truths_from_batch(truth))
@@ -185,7 +197,8 @@ def main(argv=None):
         "percentile": args.percentile,
         "n_eval_samples": len(truths),
     }
-    for name, dets in (("bf16", dets_bf16), ("int8", dets_int8)):
+    for name, dets in (("bf16", dets_bf16), ("int8", dets_int8),
+                       ("int8_chain", dets_chain)):
         _, precision, recall = precision_recall_curve(
             dets, truths, iou_match(0.5)
         )
@@ -193,40 +206,46 @@ def main(argv=None):
             average_precision(precision, recall), 4
         )
 
-    # int8 <-> bf16 detection agreement: greedy same-label nearest match.
-    center_deltas, score_deltas, matched, total = [], [], 0, 0
-    for db, di in zip(dets_bf16, dets_int8):
-        total += len(db)
-        used = set()
-        for d in db:
-            best, best_dist = None, 0.05  # 5% of image
-            for j, q in enumerate(di):
-                if j in used or q.label != d.label:
-                    continue
-                dist = ((d.y - q.y) ** 2 + (d.x - q.x) ** 2) ** 0.5
-                if dist < best_dist:
-                    best, best_dist = j, dist
-            if best is not None:
-                used.add(best)
-                matched += 1
-                center_deltas.append(best_dist)
-                score_deltas.append(abs(d.score - di[best].score))
+    def agreement(dets_a, dets_b, tag):
+        # detection agreement vs bf16: greedy same-label nearest match.
+        center_deltas, score_deltas, matched, total = [], [], 0, 0
+        for db, di in zip(dets_a, dets_b):
+            total += len(db)
+            used = set()
+            for d in db:
+                best, best_dist = None, 0.05  # 5% of image
+                for j, q in enumerate(di):
+                    if j in used or q.label != d.label:
+                        continue
+                    dist = ((d.y - q.y) ** 2 + (d.x - q.x) ** 2) ** 0.5
+                    if dist < best_dist:
+                        best, best_dist = j, dist
+                if best is not None:
+                    used.add(best)
+                    matched += 1
+                    center_deltas.append(best_dist)
+                    score_deltas.append(abs(d.score - di[best].score))
 
-    result["bf16_detections"] = total
-    result["int8_matched_fraction"] = round(matched / max(total, 1), 4)
-    if center_deltas:
-        result["center_delta_p50"] = round(
-            float(np.percentile(center_deltas, 50)), 5
+        result["bf16_detections"] = total
+        result[f"{tag}_matched_fraction"] = round(
+            matched / max(total, 1), 4
         )
-        result["center_delta_p95"] = round(
-            float(np.percentile(center_deltas, 95)), 5
-        )
-        result["score_delta_p50"] = round(
-            float(np.percentile(score_deltas, 50)), 5
-        )
-        result["score_delta_p95"] = round(
-            float(np.percentile(score_deltas, 95)), 5
-        )
+        if center_deltas:
+            result[f"{tag}_center_delta_p50"] = round(
+                float(np.percentile(center_deltas, 50)), 5
+            )
+            result[f"{tag}_center_delta_p95"] = round(
+                float(np.percentile(center_deltas, 95)), 5
+            )
+            result[f"{tag}_score_delta_p50"] = round(
+                float(np.percentile(score_deltas, 50)), 5
+            )
+            result[f"{tag}_score_delta_p95"] = round(
+                float(np.percentile(score_deltas, 95)), 5
+            )
+
+    agreement(dets_bf16, dets_int8, "int8")
+    agreement(dets_bf16, dets_chain, "int8_chain")
     print(json.dumps(result, indent=2))
     if args.out:
         with open(args.out, "w") as fp:

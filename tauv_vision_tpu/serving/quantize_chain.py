@@ -420,3 +420,257 @@ def make_yolact_chain_pipeline(
         )
 
     return jax.jit(pipeline) if jit else pipeline
+
+# ---------------------------------------------- CenterNet DLA-34 chain
+
+
+def _dla_basic_block(ctx: ChainCtx, x, prefix: str, stride: int, residual):
+    """DLA BasicBlock (centerpoint_dla.py BasicBlock): the conv1->conv2
+    link stays int8; the residual join stays bf16."""
+    from tauv_vision_tpu.models.dla import pad_to_match
+
+    q = ctx.run_layer(
+        x, f"{prefix}/conv1", strides=(stride, stride), padding=1,
+        bn_path=f"{prefix}/bn1", act="relu", next_path=f"{prefix}/conv2",
+    )
+    out = ctx.run_layer(q, f"{prefix}/conv2", padding=1,
+                        bn_path=f"{prefix}/bn2")
+    residual = pad_to_match(residual, out.shape[1:3])
+    return jnp.maximum(
+        out.astype(jnp.float32) + residual.astype(jnp.float32), 0.0
+    ).astype(ctx.dtype)
+
+
+def _dla_root(ctx: ChainCtx, children, prefix: str):
+    x = jnp.concatenate([c.astype(ctx.dtype) for c in children], axis=-1)
+    out = ctx.run_layer(x, f"{prefix}/conv", padding=0,
+                        bn_path=f"{prefix}/bn")
+    return jnp.maximum(out.astype(jnp.float32), 0.0).astype(ctx.dtype)
+
+
+def _dla_tree(ctx: ChainCtx, x, prefix: str, levels: int, in_ch: int,
+              out_ch: int, stride: int = 1, level_root: bool = False,
+              root_dim: int = 0, children=None):
+    """HDA tree (centerpoint_dla.py Tree), path-mirrored."""
+    import flax.linen as nn
+
+    children = [] if children is None else list(children)
+    if root_dim == 0:
+        root_dim = 2 * out_ch
+    if level_root:
+        root_dim += in_ch
+
+    bottom = x
+    if stride > 1:
+        pad_h = (-x.shape[1]) % stride
+        pad_w = (-x.shape[2]) % stride
+        bottom = nn.max_pool(
+            x, (stride, stride), strides=(stride, stride),
+            padding=((0, pad_h), (0, pad_w)),
+        )
+    proj = bottom
+    if in_ch != out_ch:
+        proj = ctx.run_layer(bottom, f"{prefix}/project_conv", padding=0,
+                             bn_path=f"{prefix}/project_bn")
+
+    if level_root:
+        children.append(bottom)
+
+    if levels == 1:
+        x1 = _dla_basic_block(ctx, x, f"{prefix}/tree1", stride, proj)
+        x2 = _dla_basic_block(ctx, x1, f"{prefix}/tree2", 1, x1)
+        return _dla_root(ctx, [x2, x1] + children, f"{prefix}/root")
+
+    x1 = _dla_tree(ctx, x, f"{prefix}/tree1", levels - 1, in_ch, out_ch,
+                   stride=stride, root_dim=0)
+    children.append(x1)
+    return _dla_tree(ctx, x1, f"{prefix}/tree2", levels - 1, out_ch, out_ch,
+                     root_dim=root_dim + out_ch, children=children)
+
+
+def dla_trunk_chain(ctx: ChainCtx, img):
+    """DLA-34 trunk (centerpoint_dla.py DLATrunk), chain-int8.  The
+    3-channel stem stays bf16 (run_layer falls back on the missing
+    scale)."""
+    from tauv_vision_tpu.models.centerpoint_dla import (
+        DLA34_CHANNELS,
+        DLA34_LEVELS,
+    )
+
+    x = ctx.run_layer(img, "model/base/base_conv", padding=3,
+                      bn_path="model/base/base_bn", act="relu")
+    outputs = []
+    for level_i in (0, 1):
+        stride = 1 if level_i == 0 else 2
+        for conv_i in range(DLA34_LEVELS[level_i]):
+            x = ctx.run_layer(
+                x, f"model/base/level{level_i}_conv{conv_i}",
+                strides=(stride if conv_i == 0 else 1,) * 2, padding=1,
+                bn_path=f"model/base/level{level_i}_bn{conv_i}", act="relu",
+            )
+        outputs.append(x)
+
+    for level_i in (2, 3, 4, 5):
+        x = _dla_tree(
+            ctx, x, f"model/base/level{level_i}", DLA34_LEVELS[level_i],
+            DLA34_CHANNELS[level_i - 1], DLA34_CHANNELS[level_i],
+            stride=2, level_root=(level_i != 2),
+        )
+        outputs.append(x)
+    return outputs
+
+
+def _depthwise_upsample(ctx: ChainCtx, x, path: str, factor: int):
+    """DepthwiseUpsample (centerpoint_dla.py:319-351): depthwise
+    transposed conv, kept bf16 (no MXU contraction to quantize)."""
+    kernel = _get(ctx.params, path)["kernel"]
+    f = factor
+    k = 2 * f
+    c = x.shape[-1]
+    pad = k - 1 - f // 2
+    flipped = jnp.flip(kernel, axis=(0, 1)).astype(ctx.dtype)
+    return jax.lax.conv_general_dilated(
+        x.astype(ctx.dtype), flipped, (1, 1), ((pad, pad), (pad, pad)),
+        lhs_dilation=(f, f), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def _ida_stage_chain(ctx: ChainCtx, layers, prefix: str, up_factors):
+    """IDAUpStage (plain-conv DeformConvBlock path), chain-int8."""
+    from tauv_vision_tpu.models.dla import pad_to_match
+
+    layers = list(layers)
+    for i in range(1, len(layers)):
+        projected = ctx.run_layer(
+            layers[i], f"{prefix}/proj_{i}/conv", padding=1,
+            bn_path=f"{prefix}/proj_{i}/bn", act="relu",
+        )
+        if up_factors[i] > 1:
+            upsampled = _depthwise_upsample(
+                ctx, projected, f"{prefix}/up_{i}", int(up_factors[i])
+            )
+        else:
+            upsampled = projected
+        upsampled = pad_to_match(upsampled, layers[i - 1].shape[1:3])
+        joined = (
+            upsampled.astype(jnp.float32)
+            + layers[i - 1].astype(jnp.float32)
+        ).astype(ctx.dtype)
+        layers[i] = ctx.run_layer(
+            joined, f"{prefix}/node_{i}/conv", padding=1,
+            bn_path=f"{prefix}/node_{i}/bn", act="relu",
+        )
+    return layers
+
+
+def dla34_chain_forward(object_config, variables,
+                        scales: Dict[str, float], dtype=jnp.bfloat16):
+    """Chain-int8 CenterpointDLA34 forward (plain-conv IDA, the bench
+    serving configuration) -> Prediction (models/centerpoint_dla.py
+    DLASeg + CenterpointDLA34)."""
+    from tauv_vision_tpu.configs.centernet import get_head_channels
+    from tauv_vision_tpu.models.centernet import Prediction
+    from tauv_vision_tpu.models.centerpoint_dla import DLA34_CHANNELS
+
+    ctx = ChainCtx(variables, scales, dtype=dtype)
+    oc = object_config
+    head_channels = get_head_channels(oc)
+    first_level = 2  # down_ratio 4
+    last_level = 5
+
+    def forward(img):
+        levels = dla_trunk_chain(ctx, img)
+
+        # DLAUp (centerpoint_dla.py DLAUp): iterative IDA aggregation.
+        layers = list(levels[first_level:])
+        n = len(layers)
+        channels = list(DLA34_CHANNELS[first_level:])
+        scl = np.array([2 ** i for i in range(n)], dtype=int)
+        out = [layers[-1]]
+        for i in range(n - 1):
+            j = -i - 2
+            updated = _ida_stage_chain(
+                ctx, layers[j:], f"model/dla_up/ida_{i}",
+                (scl[j:] // scl[j]).tolist(),
+            )
+            layers[j:] = updated
+            scl[j + 1:] = scl[j]
+            out.insert(0, layers[-1])
+
+        y = list(out[: last_level - first_level])
+        up_factors = [2 ** i for i in range(last_level - first_level)]
+        y = _ida_stage_chain(ctx, y, "model/ida_up", up_factors)
+        features = y[-1]
+
+        outputs = []
+        for head_i, _ in enumerate(head_channels):
+            h = ctx.run_layer(
+                features, f"model/head_{head_i}_conv", padding=1,
+                act="relu", next_path=f"model/head_{head_i}_out",
+            )
+            h = ctx.run_layer(h, f"model/head_{head_i}_out", padding=0)
+            outputs.append(h.astype(jnp.float32))
+
+        # Head-order unpacking (models/centerpoint_dla.py
+        # CenterpointDLA34.__call__).
+        out_list = list(outputs)
+        heatmap = out_list.pop(0)
+        keypoint_heatmap = None
+        keypoint_affinity = None
+        if oc.train_keypoints:
+            keypoint_heatmap = out_list.pop(0)
+            aff = out_list.pop(0)
+            b, hh, ww, _ = aff.shape
+            keypoint_affinity = aff.reshape(b, hh, ww, oc.n_keypoints, 2)
+        size = out_list.pop(0)
+        offset = out_list.pop(0)
+        yaw_bin = out_list.pop(0) if oc.train_yaw else None
+        yaw_offset = out_list.pop(0) if oc.train_yaw else None
+        pitch_bin = out_list.pop(0) if oc.train_pitch else None
+        pitch_offset = out_list.pop(0) if oc.train_pitch else None
+        roll_bin = out_list.pop(0) if oc.train_roll else None
+        roll_offset = out_list.pop(0) if oc.train_roll else None
+        depth = out_list.pop(0) if oc.train_depth else None
+        return Prediction(
+            heatmap=heatmap,
+            keypoint_heatmap=keypoint_heatmap,
+            keypoint_affinity=keypoint_affinity,
+            size=size,
+            offset=offset,
+            yaw_bin=yaw_bin, yaw_offset=yaw_offset,
+            pitch_bin=pitch_bin, pitch_offset=pitch_offset,
+            roll_bin=roll_bin, roll_offset=roll_offset,
+            depth=depth,
+        )
+
+    return forward
+
+
+def make_centernet_chain_pipeline(
+    model_config, object_config, variables, scales: Dict[str, float],
+    n_detections: int = 10, score_threshold: float = 0.6,
+    dtype=jnp.bfloat16, jit: bool = True,
+):
+    """uint8 frames -> decoded Detections via the chain-int8 DLA-34
+    forward (drop-in for make_centernet_pipeline + quantized_call)."""
+    from tauv_vision_tpu.ops.image import preprocess
+    from tauv_vision_tpu.serving.centernet_decode import decode
+    from tauv_vision_tpu.serving.pipeline import (
+        IMAGENET_MEAN,
+        IMAGENET_STDDEV,
+    )
+
+    forward = dla34_chain_forward(object_config, variables, scales,
+                                  dtype=dtype)
+
+    def pipeline(img_uint8):
+        img = preprocess(
+            img_uint8, (model_config.in_h, model_config.in_w),
+            IMAGENET_MEAN, IMAGENET_STDDEV, dtype=dtype,
+        )
+        prediction = forward(img)
+        return decode(prediction, model_config, n_detections,
+                      score_threshold)
+
+    return jax.jit(pipeline) if jit else pipeline

@@ -69,3 +69,55 @@ def test_yolact_chain_matches_per_layer_int8():
     np.testing.assert_allclose(
         np.asarray(chain.anchor), np.asarray(ref.anchor), atol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_dla34_chain_matches_per_layer_int8():
+    from math import pi
+
+    from tauv_vision_tpu.configs import (
+        AngleConfig,
+        ObjectConfig,
+        ObjectConfigSet,
+    )
+    from tauv_vision_tpu.models.centerpoint_dla import CenterpointDLA34
+    from tauv_vision_tpu.serving.quantize_chain import dla34_chain_forward
+
+    oc = ObjectConfigSet(configs=(
+        ObjectConfig(
+            id="torpedo",
+            yaw=AngleConfig(train=True, modulo=2 * pi),
+            pitch=AngleConfig(train=False, modulo=None),
+            roll=AngleConfig(train=False, modulo=None),
+            train_depth=True, train_keypoints=True,
+            keypoints=((0, 0, 0), (0.1, 0, 0)),
+        ),
+    ))
+    model = CenterpointDLA34(object_config=oc, head_conv=32, deform=False)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 64, 96, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    apply_fn = lambda b: model.apply(variables, b, train=False)  # noqa: E731
+
+    scales = calibrate(apply_fn, [x])
+    assert len(scales) > 30
+    per_layer = jax.jit(quantized_call(apply_fn, scales))(x)
+    chain = jax.jit(
+        dla34_chain_forward(oc, variables, scales, dtype=jnp.float32)
+    )(x)
+    ref = apply_fn(x)
+
+    for field in ("heatmap", "keypoint_heatmap", "keypoint_affinity",
+                  "size", "offset", "yaw_bin", "yaw_offset", "depth"):
+        c = np.asarray(getattr(chain, field))
+        p = np.asarray(getattr(per_layer, field))
+        r = np.asarray(getattr(ref, field))
+        assert c.shape == p.shape == r.shape, field
+        assert np.isfinite(c).all(), field
+        denom = np.abs(r).max() + 1e-9
+        assert np.abs(c - p).max() / denom < 0.2, (
+            field, np.abs(c - p).max() / denom
+        )
+        assert np.abs(c - r).max() / denom < 0.5, (
+            field, np.abs(c - r).max() / denom
+        )
