@@ -37,6 +37,39 @@ def _project(
     return jnp.stack((u, v), axis=-1)
 
 
+def _solve_spd_6(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve the 6x6 SPD system a @ x = b via an unrolled Cholesky.
+
+    Plain jnp ops only: ``jnp.linalg.solve`` lowers to a linear-algebra
+    custom call whose kernel intermittently crashes the TPU worker when
+    this solver runs vmapped inside the fused YOLO-Pose serving graph.
+    A statically unrolled 6x6 Cholesky is also faster at this size."""
+    n = 6
+    l = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = a[..., i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            if i == j:
+                l[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                l[i][j] = s / l[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y[i] = s / l[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k][i] * x[k]
+        x[i] = s / l[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def solve_pnp(
     object_points: jnp.ndarray,
     image_points: jnp.ndarray,
@@ -91,7 +124,7 @@ def solve_pnp(
         jac = jax.jacobian(residual)(params)  # [2N, 6]
         jtj = jac.T @ jac
         jtr = jac.T @ res
-        step = jnp.linalg.solve(
+        step = _solve_spd_6(
             jtj + damping * jnp.eye(6) * (1.0 + jnp.diag(jtj)), -jtr
         )
         new_params = params + step
