@@ -20,7 +20,7 @@ Conv = _functools.partial(
 )
 import jax.numpy as jnp
 
-from tauv_vision_tpu.ops.image import resize_bilinear
+from tauv_vision_tpu.ops.image import resize_bilinear_nhwc
 
 
 class FeaturePyramid(nn.Module):
@@ -43,9 +43,7 @@ class FeaturePyramid(nn.Module):
         pyramid[-1] = laterals[-1]
         for i in range(n_in - 2, -1, -1):
             target_hw = laterals[i].shape[1:3]
-            above = jnp.moveaxis(pyramid[i + 1], -1, -3)  # NHWC -> NCHW
-            above = resize_bilinear(above, target_hw)
-            above = jnp.moveaxis(above, -3, -1)
+            above = resize_bilinear_nhwc(pyramid[i + 1], target_hw)
             pyramid[i] = laterals[i] + above
 
         outputs: List[jnp.ndarray] = []

@@ -43,9 +43,15 @@ def conv_transpose_phase(
     output_padding: int,
     bias: Optional[jnp.ndarray] = None,
     preferred_element_type=None,
+    feature_group_count: int = 1,
 ) -> jnp.ndarray:
-    """torch ConvTranspose2d(x, kernel HWIO [k, k, Cin, Cout]) via phase
-    decomposition; matches models/layers.TorchConvTranspose exactly."""
+    """torch ConvTranspose2d(x, kernel HWIO [k, k, Cin/g, Cout]) via
+    phase decomposition; matches models/layers.TorchConvTranspose
+    exactly.  ``feature_group_count=C`` gives the depthwise form
+    (models/centerpoint_dla.DepthwiseUpsample's bilinear upsampler),
+    where skipping the dilation zeros pays off most: the dilated
+    depthwise conv does s*s times the work of its nonzero taps on the
+    VPU with no MXU to hide it."""
     b_, h, w, _ = x.shape
     k = kernel.shape[0]
     s = stride
@@ -66,7 +72,7 @@ def conv_transpose_phase(
         kys, dys = _phase_taps(k, s, pad_lo, a)
         for bph in range(s):
             kxs, dxs = _phase_taps(k, s, pad_lo, bph)
-            sub = flipped[np.ix_(kys, kxs)]  # [ka, kb, Cin, Cout]
+            sub = flipped[np.ix_(kys, kxs)]  # [ka, kb, Cin/g, Cout]
             out_ab = jax.lax.conv_general_dilated(
                 x,
                 sub.astype(x.dtype),
@@ -76,6 +82,7 @@ def conv_transpose_phase(
                     (-min(dxs), max(dxs)),
                 ),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=feature_group_count,
                 **extra,
             )
             phases.append(out_ab)

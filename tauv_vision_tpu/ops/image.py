@@ -28,6 +28,20 @@ def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(img, out_shape, method="bilinear", antialias=False)
 
 
+def resize_bilinear_nhwc(
+    img: jnp.ndarray, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Bilinear resize of [B, H, W, C] along H/W, same semantics as
+    :func:`resize_bilinear` (torch align_corners=False) without the
+    NCHW round-trip — on TPU the two moveaxis transposes around a
+    channels-last resize cost more than the resize itself."""
+    b, _, _, c = img.shape
+    return jax.image.resize(
+        img, (b, out_hw[0], out_hw[1], c), method="bilinear",
+        antialias=False,
+    )
+
+
 def resize_nearest(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Nearest resize of [..., H, W], torch legacy 'nearest' semantics."""
     in_h, in_w = img.shape[-2], img.shape[-1]

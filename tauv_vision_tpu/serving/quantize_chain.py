@@ -232,7 +232,7 @@ def resnet18_chain(ctx: ChainCtx, img) -> Tuple[jnp.ndarray, ...]:
 def fpn_chain(ctx: ChainCtx, backbone_outputs, n_downsample: int):
     """Chain-int8 FeaturePyramid forward (models/fpn.py:26-66).  The
     top-down bilinear-resize sum stays bf16 (cross-scale join)."""
-    from tauv_vision_tpu.ops.image import resize_bilinear
+    from tauv_vision_tpu.ops.image import resize_bilinear_nhwc
 
     n_in = len(backbone_outputs)
     laterals = [
@@ -243,11 +243,10 @@ def fpn_chain(ctx: ChainCtx, backbone_outputs, n_downsample: int):
     pyramid = [None] * n_in
     pyramid[-1] = laterals[-1]
     for i in range(n_in - 2, -1, -1):
-        above = jnp.moveaxis(pyramid[i + 1], -1, -3)
-        above = resize_bilinear(above, laterals[i].shape[1:3])
-        pyramid[i] = laterals[i] + jnp.moveaxis(above, -3, -1).astype(
-            laterals[i].dtype
+        above = resize_bilinear_nhwc(
+            pyramid[i + 1], laterals[i].shape[1:3]
         )
+        pyramid[i] = laterals[i] + above.astype(laterals[i].dtype)
 
     outputs = [
         ctx.run_layer(pyramid[i], f"fpn/prediction_{i}", padding=1,
@@ -521,8 +520,10 @@ def dla_trunk_chain(ctx: ChainCtx, img):
 
 
 def _depthwise_upsample(ctx: ChainCtx, x, path: str, factor: int):
-    """DepthwiseUpsample (centerpoint_dla.py:319-351): depthwise
-    transposed conv, kept bf16 (no MXU contraction to quantize)."""
+    """DepthwiseUpsample (centerpoint_dla.py DepthwiseUpsample):
+    dilated depthwise correlation, kept bf16 (no MXU contraction to
+    quantize; the zero-free phase form measured slower end-to-end —
+    see the module's comment)."""
     kernel = _get(ctx.params, path)["kernel"]
     f = factor
     k = 2 * f

@@ -73,3 +73,35 @@ def test_quantized_phase_matches_dilated_int8():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_depthwise_phase_matches_dilated():
+    """conv_transpose_phase with feature_group_count=C vs the dilated
+    depthwise form (the DepthwiseUpsample configuration: k=2f, p=f//2)."""
+    import jax
+
+    from tauv_vision_tpu.ops.conv_transpose import conv_transpose_phase
+
+    rng = np.random.default_rng(5)
+    for f in (2, 4):
+        k = 2 * f
+        c = 6
+        x = jnp.asarray(rng.normal(size=(2, 5, 7, c)).astype(np.float32))
+        kernel = jnp.asarray(
+            rng.normal(size=(k, k, 1, c)).astype(np.float32)
+        )
+        pad = k - 1 - f // 2
+        ref = jax.lax.conv_general_dilated(
+            x, jnp.flip(kernel, axis=(0, 1)), (1, 1),
+            ((pad, pad), (pad, pad)), lhs_dilation=(f, f),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+        got = conv_transpose_phase(
+            x, kernel, stride=f, padding=f // 2, output_padding=0,
+            feature_group_count=c,
+        )
+        assert got.shape == ref.shape, (f, got.shape, ref.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
