@@ -62,12 +62,14 @@ def read_classes(root: pathlib.Path) -> List[str]:
 
 
 def read_sample(data_path: pathlib.Path, id: str, load_seg: bool = False) -> DatasetSample:
+    from tauv_vision_tpu.data.image_io import read_image
+
     with open((data_path / id).with_suffix(".json")) as fp:
         data = json.load(fp)
-    img = np.asarray(Image.open((data_path / id).with_suffix(".png")).convert("RGB"))
+    img = read_image((data_path / id).with_suffix(".png"), channels=3)
     seg = None
     if load_seg:
-        seg = np.asarray(Image.open(data_path / f"{id}_seg.png"))
+        seg = read_image(data_path / f"{id}_seg.png", channels=1)
         if seg.ndim == 3:
             seg = seg[..., 0]
     return DatasetSample(
@@ -77,12 +79,12 @@ def read_sample(data_path: pathlib.Path, id: str, load_seg: bool = False) -> Dat
 
 
 def write_sample(data_path: pathlib.Path, sample: DatasetSample) -> None:
+    from tauv_vision_tpu.data.image_io import write_png
+
     data_path.mkdir(parents=True, exist_ok=True)
-    Image.fromarray(sample.img).save((data_path / sample.id).with_suffix(".png"))
+    write_png((data_path / sample.id).with_suffix(".png"), sample.img)
     if sample.seg is not None:
-        Image.fromarray(sample.seg.astype(np.uint8)).save(
-            data_path / f"{sample.id}_seg.png"
-        )
+        write_png(data_path / f"{sample.id}_seg.png", sample.seg)
     with open((data_path / sample.id).with_suffix(".json"), "w") as fp:
         json.dump({"objects": sample.objects, "camera": sample.camera}, fp)
 
