@@ -28,7 +28,6 @@ from enum import Enum
 from typing import Dict, List, Optional
 
 import numpy as np
-from PIL import Image
 
 BACKGROUND_SEG = 255
 INVALID_SEG = 254

@@ -32,7 +32,7 @@ DLA-34 stack (centerpoint_dla.py:476-531).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
