@@ -215,14 +215,41 @@ def split_for_annotation(
     return batch_dirs
 
 
+def launch(document_root) -> int:
+    """Launch a local Label Studio instance serving files from
+    ``document_root`` (the reference's label_studio/label_studio.sh:1-13
+    as a callable: sets the local-file-serving env and execs
+    ``label-studio``).  Returns the process exit code; 127 when the
+    ``label-studio`` executable is not installed."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["LABEL_STUDIO_LOCAL_FILES_SERVING_ENABLED"] = "true"
+    env["LABEL_STUDIO_LOCAL_FILES_DOCUMENT_ROOT"] = str(document_root)
+    try:
+        return subprocess.call(["label-studio"], env=env)
+    except FileNotFoundError:
+        print("label-studio is not installed (pip install label-studio)")
+        return 127
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("dir")
-    parser.add_argument("--classes", nargs="+", required=True,
-                        help="class ids in index order")
+    parser.add_argument("--launch", action="store_true",
+                        help="launch Label Studio serving DIR instead of "
+                             "converting annotations")
+    parser.add_argument("--classes", nargs="+",
+                        help="class ids in index order (required unless "
+                             "--launch)")
     args = parser.parse_args()
 
     base = pathlib.Path(args.dir).expanduser()
+    if args.launch:
+        raise SystemExit(launch(base))
+    if not args.classes:
+        parser.error("--classes is required for annotation conversion")
     convert_annotations(
         base / "images",
         base / "raw_labels",
