@@ -40,10 +40,12 @@ int32_t tauv_png_decode(const uint8_t* buf, int64_t len, int32_t channels,
     return -1;
   }
   if (channels == 1 &&
-      (image.format & (PNG_FORMAT_FLAG_COLOR | PNG_FORMAT_FLAG_COLORMAP))) {
-    // Grayscale requested from a color/palette source: PIL semantics
-    // for such files (raw palette indices for 'P' mode) differ from
-    // libpng's colorimetric conversion — let the caller fall back.
+      (image.format & (PNG_FORMAT_FLAG_COLOR | PNG_FORMAT_FLAG_COLORMAP |
+                       PNG_FORMAT_FLAG_LINEAR))) {
+    // Grayscale requested from a color/palette/16-bit source: PIL
+    // semantics for such files (raw palette indices for 'P' mode, raw
+    // uint16 values for 'I;16') differ from libpng's colorimetric /
+    // 8-bit conversion — let the caller fall back.
     png_image_free(&image);
     return -5;
   }
@@ -62,6 +64,7 @@ int32_t tauv_png_decode(const uint8_t* buf, int64_t len, int32_t channels,
   }
   if (!png_image_finish_read(&image, /*background=*/nullptr, out,
                              /*row_stride=*/0, /*colormap=*/nullptr)) {
+    png_image_free(&image);
     return -4;
   }
   return 0;

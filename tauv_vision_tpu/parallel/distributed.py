@@ -49,6 +49,17 @@ def initialize(
         return False
     if num_processes is not None and num_processes <= 1:
         return False
+    if coordinator_address is not None and not on_pod and (
+        num_processes is None or process_id is None
+    ):
+        # Outside auto-detectable cluster environments, jax.distributed
+        # cannot infer these; fail with the actual requirement instead
+        # of a None-typed error from deep inside initialize().
+        raise ValueError(
+            "JAX_COORDINATOR_ADDRESS is set but num_processes/process_id "
+            "are missing — set JAX_NUM_PROCESSES and JAX_PROCESS_ID (or "
+            "pass them explicitly) when using an explicit coordinator"
+        )
 
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

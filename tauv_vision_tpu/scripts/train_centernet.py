@@ -154,8 +154,13 @@ def main(argv=None):
 
     train_step = make_centernet_train_step(
         model, model_config, train_config, object_config, mesh=mesh,
-        watch=args.watch_every > 0,
     )
+    watch_step = None
+    if args.watch_every > 0:
+        watch_step = make_centernet_train_step(
+            model, model_config, train_config, object_config, mesh=mesh,
+            watch=True,
+        )
     eval_step = make_centernet_eval_step(
         model, model_config, train_config, object_config, mesh=mesh
     )
@@ -183,6 +188,7 @@ def main(argv=None):
         ),
         mesh=mesh,
         figure_fn=figure_fn,
+        watch_step=watch_step,
     )
     trainer.fit(
         lambda: iter(train_loader),

@@ -173,7 +173,12 @@ def main(argv=None):
         state = replicate(state, mesh)
 
     train_step = make_yolact_train_step(model, model_config, train_config,
-                                        mesh=mesh, watch=args.watch_every > 0)
+                                        mesh=mesh)
+    watch_step = None
+    if args.watch_every > 0:
+        watch_step = make_yolact_train_step(
+            model, model_config, train_config, mesh=mesh, watch=True
+        )
     eval_step = make_yolact_eval_step(model, model_config, train_config,
                                       mesh=mesh)
 
@@ -199,6 +204,7 @@ def main(argv=None):
         ),
         mesh=mesh,
         figure_fn=figure_fn,
+        watch_step=watch_step,
     )
     trainer.fit(
         lambda: iter(train_loader),

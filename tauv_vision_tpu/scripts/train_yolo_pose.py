@@ -152,21 +152,25 @@ def main(argv=None):
         losses = yolo_pose_loss(prediction, truth, model_config)
         return losses.total, (losses, mutated.get("batch_stats"))
 
-    watch = args.watch_every > 0
+    def make_step(watch: bool):
+        @jax.jit
+        def train_step(state, img, truth):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (losses, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, img, truth
+            )
+            stats = watch_metrics(state.params, grads) if watch else None
+            state = state.apply_gradients(grads=grads)
+            if new_stats is not None:
+                state = state.replace(batch_stats=new_stats)
+            if watch:
+                return state, losses, stats
+            return state, losses
 
-    @jax.jit
-    def train_step(state, img, truth):
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (losses, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, img, truth
-        )
-        stats = watch_metrics(state.params, grads) if watch else None
-        state = state.apply_gradients(grads=grads)
-        if new_stats is not None:
-            state = state.replace(batch_stats=new_stats)
-        if watch:
-            return state, losses, stats
-        return state, losses
+        return train_step
+
+    train_step = make_step(watch=False)
+    watch_step = make_step(watch=True) if args.watch_every > 0 else None
 
     results_dir = pathlib.Path(args.results_dir).expanduser()
     trainer = Trainer(
@@ -182,6 +186,7 @@ def main(argv=None):
             StdoutWriter(), JsonlWriter(results_dir / "metrics.jsonl")
         ),
         figure_fn=make_yolo_pose_figure_fn(model, model_config),
+        watch_step=watch_step,
     )
     trainer.fit(
         lambda: iter(loader),

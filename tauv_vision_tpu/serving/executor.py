@@ -53,20 +53,44 @@ class ServingExecutor:
     def run(
         self, frames_iter: Iterable[np.ndarray], to_numpy: bool = True
     ) -> Iterator[Any]:
-        """Yield pipeline outputs for each input batch, in order."""
+        """Yield pipeline outputs for each input batch, in order.
+
+        Closing the generator early (``close()`` / GC / ``break``)
+        signals the worker threads to stop; they drain their queues and
+        exit instead of blocking on the bounded queues forever holding
+        device buffers.  The first worker error is raised as soon as the
+        in-order results ahead of it have been yielded, not only after
+        the stream ends.
+        """
         uploaded: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
         dispatched: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
         _END = object()
         errors = []
+        stop = threading.Event()
+
+        def put_until_stop(q: "queue.Queue", item) -> bool:
+            """put() that gives up when the generator was closed."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def uploader():
             try:
                 for frames in frames_iter:
-                    uploaded.put(jax.device_put(frames, self._device))
+                    if not put_until_stop(
+                        uploaded, jax.device_put(frames, self._device)
+                    ):
+                        return
+                    if stop.is_set():
+                        return
             except Exception as e:  # surfaced by the main generator
                 errors.append(e)
             finally:
-                uploaded.put(_END)
+                put_until_stop(uploaded, _END)
 
         threading.Thread(target=uploader, daemon=True).start()
 
@@ -80,36 +104,51 @@ class ServingExecutor:
 
         def downloader():
             try:
-                while True:
-                    out = dispatched.get()
+                while not stop.is_set():
+                    try:
+                        out = dispatched.get(timeout=0.1)
+                    except queue.Empty:
+                        continue
                     if out is _END:
                         break
-                    results.put(materialize(out))
+                    if not put_until_stop(results, materialize(out)):
+                        return
             except Exception as e:
                 errors.append(e)
             finally:
-                results.put(_END)
+                put_until_stop(results, _END)
 
         threading.Thread(target=downloader, daemon=True).start()
 
         def dispatcher():
             try:
-                while True:
-                    frames = uploaded.get()
+                while not stop.is_set():
+                    try:
+                        frames = uploaded.get(timeout=0.1)
+                    except queue.Empty:
+                        continue
                     if frames is _END:
                         break
-                    dispatched.put(self._pipeline(self._variables, frames))
+                    if not put_until_stop(
+                        dispatched, self._pipeline(self._variables, frames)
+                    ):
+                        return
             except Exception as e:
                 errors.append(e)
             finally:
-                dispatched.put(_END)
+                put_until_stop(dispatched, _END)
 
         threading.Thread(target=dispatcher, daemon=True).start()
 
-        while True:
-            out = results.get()
-            if out is _END:
-                break
-            yield out
-        if errors:
-            raise errors[0]
+        try:
+            while True:
+                if errors:
+                    raise errors[0]
+                out = results.get()
+                if out is _END:
+                    break
+                yield out
+            if errors:
+                raise errors[0]
+        finally:
+            stop.set()

@@ -47,8 +47,14 @@ class Trainer:
         writer: Optional[MetricWriter] = None,
         mesh=None,
         figure_fn: Optional[Callable] = None,
+        watch_step: Optional[Callable] = None,
     ):
         self.train_step = train_step
+        # Optional watch=True variant of train_step, used only on steps
+        # where watch stats are actually logged — computing and pulling
+        # the per-layer stats pytree every step costs device reductions
+        # + a host sync that watch_every would otherwise discard.
+        self.watch_step = watch_step
         self.eval_step = eval_step
         self.state = state
         self.config = config
@@ -106,7 +112,14 @@ class Trainer:
                 self._log_figures(img, truth)
 
             t0 = time.perf_counter()
-            result = self.train_step(self.state, img, truth)
+            step_fn = self.train_step
+            if (
+                self.watch_step is not None
+                and self.config.watch_every > 0
+                and self.global_step % self.config.watch_every == 0
+            ):
+                step_fn = self.watch_step
+            result = step_fn(self.state, img, truth)
             watch_stats = None
             if len(result) == 3:
                 self.state, losses, watch_stats = result
