@@ -235,11 +235,13 @@ def time_decode(model, variables, model_config, frames, family, n_chain=16):
     return max(t2 - t1, 1e-9) / n_chain
 
 
-def load_scales(raw_pipeline, variables, frames, cache_key):
+def load_scales(raw_pipeline, variables, frames, cache_key,
+                per_channel=False):
     """Calibration scales for the int8 paths, cached on disk: the bench
     models initialize from a fixed seed and calibrate on fixed frames,
     so the scales are deterministic and the eager pass (minutes over
-    this image's relay) only needs to run once."""
+    this image's relay) only needs to run once.  Per-channel scale
+    vectors round-trip through JSON as lists."""
     import json
     import pathlib
 
@@ -247,13 +249,46 @@ def load_scales(raw_pipeline, variables, frames, cache_key):
 
     cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
-    scales_path = cache_dir / f"calibration_{cache_key}.json"
+    suffix = "_pc" if per_channel else ""
+    scales_path = cache_dir / f"calibration_{cache_key}{suffix}.json"
     if scales_path.exists():
-        return json.loads(scales_path.read_text())
+        loaded = json.loads(scales_path.read_text())
+        return {
+            k: np.asarray(v) if isinstance(v, list) else v
+            for k, v in loaded.items()
+        }
     cal = frames[:2]
-    scales = calibrate(lambda b: raw_pipeline(variables, b), [cal])
-    scales_path.write_text(json.dumps(scales))
+    scales = calibrate(lambda b: raw_pipeline(variables, b), [cal],
+                       per_channel=per_channel)
+    scales_path.write_text(json.dumps({
+        k: (v.tolist() if hasattr(v, "tolist") else v)
+        for k, v in scales.items()
+    }))
     return scales
+
+
+def load_corrections(raw_pipeline, variables, frames, cache_key, scales):
+    """Bias corrections for the parity-int8 profile, cached like the
+    scales (deterministic for fixed seed + frames)."""
+    import json
+    import pathlib
+
+    from tauv_vision_tpu.serving.quantize import calibrate_bias_correction
+
+    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    corr_path = cache_dir / f"biascorr_{cache_key}.json"
+    if corr_path.exists():
+        return {
+            k: np.asarray(v)
+            for k, v in json.loads(corr_path.read_text()).items()
+        }
+    corr = calibrate_bias_correction(
+        lambda b: raw_pipeline(variables, b), [frames[:2]], scales
+    )
+    corr_path.write_text(
+        json.dumps({k: v.tolist() for k, v in corr.items()})
+    )
+    return corr
 
 
 def quantize_pipeline(raw_pipeline, variables, frames, cache_key):
@@ -514,29 +549,65 @@ def main():
     # no-deform CenterNet (the DCN paths serve via --per-layer-int8 or
     # --bf16).
     int8 = "--bf16" not in sys.argv
+    # --parity-int8: the decoded-parity serving profile — per-channel
+    # activation scales folded into the weights, per-output-channel bias
+    # correction, and a bf16 tail (--bf16-tail substrings, default the
+    # output heads) so the convs that shape the decoded outputs run
+    # float.  Same chain machinery; fps differs from plain chain only by
+    # the tail's bf16 convs.  Decoded-delta evidence:
+    # scripts/quantize_accuracy_check.py --sweep (BENCH.md table).
+    parity = "--parity-int8" in sys.argv
+    bf16_tail = ("head_",)
+    if "--bf16-tail" in sys.argv:
+        bf16_tail = tuple(
+            sys.argv[sys.argv.index("--bf16-tail") + 1].split(",")
+        )
     chain = int8 and not deform and "--per-layer-int8" not in sys.argv
     if chain:
+        from tauv_vision_tpu.serving.quantize import strip_scales
         from tauv_vision_tpu.serving.quantize_chain import (
             make_centernet_chain_pipeline,
             make_yolact_chain_pipeline,
         )
 
         cn_scales = load_scales(
-            cn_raw, cn_vars, frames, f"centernet_b{batch_size}"
+            cn_raw, cn_vars, frames, f"centernet_b{batch_size}",
+            per_channel=parity,
         )
         yl_scales = load_scales(
-            yl_raw, yl_vars, frames, f"yolact_b{batch_size}"
+            yl_raw, yl_vars, frames, f"yolact_b{batch_size}",
+            per_channel=parity,
         )
+        cn_corr = yl_corr = None
+        if parity:
+            cn_scales = strip_scales(cn_scales, bf16_tail)
+            # YOLACT's decode consumers are the prediction-head output
+            # convs + the protonet output (mask prototypes).
+            yl_tail = tuple(
+                t for t in bf16_tail if not t.startswith(("head_",))
+            ) + ("prediction_head/classification", "prediction_head/box",
+                 "prediction_head/mask", "protonet/output")
+            yl_scales = strip_scales(yl_scales, yl_tail)
+            cn_corr = load_corrections(
+                cn_raw, cn_vars, frames,
+                f"centernet_b{batch_size}_{'-'.join(bf16_tail)}",
+                cn_scales,
+            )
+            yl_corr = load_corrections(
+                yl_raw, yl_vars, frames,
+                f"yolact_b{batch_size}_{'-'.join(bf16_tail)}", yl_scales,
+            )
         cn_q = make_centernet_chain_pipeline(
             cn_cfg, cn_model.object_config, cn_vars, cn_scales,
-            n_detections=10, score_threshold=0.6,
+            n_detections=10, score_threshold=0.6, corrections=cn_corr,
         )
         yl_q = make_yolact_chain_pipeline(
             yl_cfg, yl_vars, yl_scales, top_k=20, iou_threshold=0.5,
-            confidence_threshold=0.5,
+            confidence_threshold=0.5, corrections=yl_corr,
         )
         print(
-            f"chain-int8: centernet={len(cn_scales)} yolact="
+            f"chain-int8{'-parity' if parity else ''}: "
+            f"centernet={len(cn_scales)} yolact="
             f"{len(yl_scales)} calibrated convs", file=sys.stderr,
         )
         cn_timed = lambda v, f: cn_q(f)  # noqa: E731
@@ -573,8 +644,11 @@ def main():
             "deform_conv": deform,
             "dcn_impl": dcn_impl if deform else None,
             "int8": int8,
-            "int8_mode": ("chain" if chain else "per-layer") if int8
-            else None,
+            "int8_mode": (
+                ("chain-parity" if parity else "chain")
+                if chain else "per-layer"
+            ) if int8 else None,
+            "bf16_tail": list(bf16_tail) if (chain and parity) else None,
             "centernet_fps": round(batch_size / cn_time, 2),
             "yolact_fps": round(batch_size / yl_time, 2),
             "decode_p50_ms": round(decode_p50 * 1e3, 3),

@@ -95,6 +95,14 @@ class CenternetTrainConfig:
     weight_save_interval: int = 10
     grad_max_norm: float = 1.0
 
+    # DCN offset-range regularization (TPU addition): penalize learned
+    # deformable-conv offsets beyond dcn_offset_range so the R-bounded
+    # serving kernels (ops/pallas/deform_conv.py, exact for
+    # |offset| <= R) are exact in practice.  0 disables (the reference
+    # trains unconstrained offsets, centerpoint_dla.py:360-392).
+    loss_lambda_dcn_offset: float = 0.0
+    dcn_offset_range: float = 1.0
+
     # TPU additions (not in reference): max padded objects/keypoints per
     # sample so every batch has a static shape, and the compute dtype.
     max_objects: int = 16

@@ -259,6 +259,11 @@ class DeformConvBlock(nn.Module):
             kernel_init=nn.initializers.zeros,
         )(x)
         mask = jax.nn.sigmoid(mask)
+        # Expose the learned offsets so training can regularize their
+        # range (loss_lambda_dcn_offset): offsets held inside the
+        # serving radius make the R-bounded Pallas/shift kernels EXACT
+        # in practice instead of clamping (BENCH.md "Known limits").
+        self.sow("intermediates", "dcn_offset", offset)
 
         weight = self.param(
             "weight",

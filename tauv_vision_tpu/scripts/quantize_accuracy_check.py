@@ -29,15 +29,120 @@ import numpy as np
 
 IN_H, IN_W = 360, 640
 
+# Mixed-precision ladder (--sweep): each rung moves another tail stage
+# of the DLA-34 chain back to bf16, on top of per-channel activation
+# scales + bias correction.  Stage path substrings follow the chain's
+# parameter tree (serving/quantize_chain.py dla34_chain_forward):
+# trunk levels -> dla_up -> ida_up -> heads.
+SWEEP_LADDER = (
+    ("absmax", dict(per_channel=False, bias_correct=False, strip=())),
+    ("per_channel", dict(per_channel=True, bias_correct=False, strip=())),
+    ("pc+biascorr", dict(per_channel=True, bias_correct=True, strip=())),
+    ("pc+bc+bf16heads",
+     dict(per_channel=True, bias_correct=True, strip=("head_",))),
+    ("pc+bc+bf16heads+idaup",
+     dict(per_channel=True, bias_correct=True,
+          strip=("head_", "ida_up"))),
+    ("pc+bc+bf16heads+idaup+dlaup",
+     dict(per_channel=True, bias_correct=True,
+          strip=("head_", "ida_up", "dla_up"))),
+    ("pc+bc+bf16tail+lvl5",
+     dict(per_channel=True, bias_correct=True,
+          strip=("head_", "ida_up", "dla_up", "level5"))),
+)
+
+
+def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
+               pair_deltas, dets_bf16, truths):
+    """Walk SWEEP_LADDER, reporting decoded agreement vs bf16 per rung.
+
+    The question this answers (VERDICT r2 item 1a): how much of the
+    chain can stay int8 while decoded outputs hold p95 <= 1e-3 of the
+    float path?  The chosen rung becomes the headline serving config if
+    its fps clears 1000 (bench.py --chain-config).
+    """
+    import json
+
+    from tauv_vision_tpu.serving.quantize import (
+        calibrate,
+        calibrate_bias_correction,
+        strip_scales,
+    )
+
+    print("calibrating (absmax + per-channel)...", flush=True)
+    scales_absmax = calibrate(raw_pipeline, cal_frames,
+                              percentile=args.percentile)
+    scales_pc = calibrate(raw_pipeline, cal_frames,
+                          percentile=args.percentile, per_channel=True)
+    print("computing bias corrections...", flush=True)
+    corr_full = calibrate_bias_correction(raw_pipeline, cal_frames,
+                                          scales_pc)
+
+    rows = []
+    for name, cfg in SWEEP_LADDER:
+        base = scales_pc if cfg["per_channel"] else scales_absmax
+        scales = strip_scales(base, cfg["strip"]) if cfg["strip"] else base
+        corr = (
+            {k: v for k, v in corr_full.items() if k in scales}
+            if cfg["bias_correct"] else None
+        )
+        print(f"rung {name}: {len(scales)} int8 convs...", flush=True)
+        dets = collect(make_chain_fn(scales, corr))
+        stats = pair_deltas(dets_bf16, dets)
+        stats["name"] = name
+        stats["int8_convs"] = len(scales)
+        rows.append(stats)
+        print(
+            f"  match={stats['matched_fraction']}"
+            f" score_p95={stats.get('score_delta_p95')}"
+            f" center_p95={stats.get('center_delta_p95')}"
+            f" size_p95={stats.get('size_delta_p95')}"
+            f" le_1e3={stats.get('all_deltas_le_1e3')}",
+            flush=True,
+        )
+
+    result = {
+        "sweep": rows,
+        "n_eval_samples": len(truths),
+        "bf16_detections": rows[0]["total"] if rows else 0,
+        "percentile": args.percentile,
+    }
+    print(json.dumps(result, indent=2))
+    if args.out:
+        with open(args.out, "w") as fp:
+            json.dump(result, fp, indent=2)
+    return result
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--batch-size", type=int, default=16)
-    parser.add_argument("--eval-batches", type=int, default=4)
+    parser.add_argument("--eval-batches", type=int, default=32,
+                        help="eval set = eval_batches * batch_size images "
+                             "(default 512 images at batch 16)")
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--percentile", type=float, default=None,
                         help="activation calibration percentile (None=absmax)")
+    parser.add_argument("--per-channel", action="store_true",
+                        help="per-input-channel activation scales")
+    parser.add_argument("--bias-correct", action="store_true",
+                        help="fold E[quant error] into conv epilogues")
+    parser.add_argument("--bf16-heads", action="store_true",
+                        help="leave the output head convs in bf16")
+    parser.add_argument("--cal-batches", type=int, default=4,
+                        help="number of eval batches used for calibration")
+    parser.add_argument("--bootstrap", type=int, default=1000,
+                        help="bootstrap resamples for AP CIs (0=off)")
+    parser.add_argument("--save-model", default=None,
+                        help="save trained variables (npz) and exit training "
+                             "early use with --load-model to iterate on "
+                             "quantization without retraining")
+    parser.add_argument("--load-model", default=None)
+    parser.add_argument("--sweep", action="store_true",
+                        help="walk the mixed-precision ladder (absmax -> "
+                             "per-channel -> +bias-correct -> +bf16 tail "
+                             "stages) and report decoded deltas per rung")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 
@@ -71,7 +176,12 @@ def main(argv=None):
     )
     from tauv_vision_tpu.models.centerpoint_dla import CenterpointDLA34
     from tauv_vision_tpu.serving.centernet_decode import decode
-    from tauv_vision_tpu.serving.quantize import calibrate, quantized_call
+    from tauv_vision_tpu.serving.quantize import (
+        calibrate,
+        calibrate_bias_correction,
+        quantized_call,
+        strip_scales,
+    )
     from tauv_vision_tpu.train import (
         TrainState,
         adam_with_clip,
@@ -110,32 +220,51 @@ def main(argv=None):
     model = CenterpointDLA34(
         object_config=object_config, dtype=jnp.bfloat16, deform=False
     )
-    img0 = jnp.zeros((1, IN_H, IN_W, 3), jnp.float32)
-    variables = jax.jit(lambda k: model.init(k, img0, train=False))(
-        jax.random.key(0)
-    )
-    state = TrainState.create(
-        apply_fn=model.apply, params=variables["params"],
-        batch_stats=variables.get("batch_stats"),
-        tx=adam_with_clip(args.lr, 1.0),
-    )
-    step_fn = make_centernet_train_step(
-        model, model_config, train_config, object_config
-    )
 
-    rng = np.random.default_rng(7)
-    print("training DLA-34 on synthetic squares...", flush=True)
-    for step in range(args.steps):
-        img, truth = generate_square_batch(rng, args.batch_size, square_cfg)
-        truth = jax.tree_util.tree_map(jnp.asarray, truth)
-        state, losses = step_fn(state, jnp.asarray(img), truth)
-        if step % 25 == 0:
-            print(f"step {step}: total={float(losses.total):.4f}",
+    if args.load_model:
+        import pickle
+
+        with open(args.load_model, "rb") as fp:
+            trained = pickle.load(fp)
+        trained = jax.tree_util.tree_map(jnp.asarray, trained)
+        print(f"loaded trained variables from {args.load_model}", flush=True)
+    else:
+        img0 = jnp.zeros((1, IN_H, IN_W, 3), jnp.float32)
+        variables = jax.jit(lambda k: model.init(k, img0, train=False))(
+            jax.random.key(0)
+        )
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats"),
+            tx=adam_with_clip(args.lr, 1.0),
+        )
+        step_fn = make_centernet_train_step(
+            model, model_config, train_config, object_config
+        )
+
+        rng = np.random.default_rng(7)
+        print("training DLA-34 on synthetic squares...", flush=True)
+        for step in range(args.steps):
+            img, truth = generate_square_batch(rng, args.batch_size,
+                                               square_cfg)
+            truth = jax.tree_util.tree_map(jnp.asarray, truth)
+            state, losses = step_fn(state, jnp.asarray(img), truth)
+            if step % 25 == 0:
+                print(f"step {step}: total={float(losses.total):.4f}",
+                      flush=True)
+
+        trained = {"params": state.params}
+        if state.batch_stats is not None:
+            trained["batch_stats"] = state.batch_stats
+
+        if args.save_model:
+            import pickle
+
+            host = jax.tree_util.tree_map(np.asarray, trained)
+            with open(args.save_model, "wb") as fp:
+                pickle.dump(host, fp)
+            print(f"saved trained variables to {args.save_model}",
                   flush=True)
-
-    trained = {"params": state.params}
-    if state.batch_stats is not None:
-        trained["batch_stats"] = state.batch_stats
 
     # Serving fns: synthetic floats [0,1] -> uint8 frames at the model's
     # native 640x360 (no resize — truth stays aligned).
@@ -154,24 +283,6 @@ def main(argv=None):
         for img, _ in eval_sets
     ]
 
-    print("calibrating int8...", flush=True)
-    scales = calibrate(
-        raw_pipeline, [eval_frames[0][:2]], percentile=args.percentile
-    )
-    bf16_fn = jax.jit(raw_pipeline)
-    int8_fn = jax.jit(quantized_call(raw_pipeline, scales))
-
-    from tauv_vision_tpu.serving.quantize_chain import dla34_chain_forward
-
-    chain_forward = dla34_chain_forward(object_config, trained, scales)
-
-    def chain_pipeline(frames_uint8):
-        img = frames_uint8.astype(jnp.bfloat16) / 255.0
-        prediction = chain_forward(img)
-        return decode(prediction, model_config, 10, 0.3)
-
-    chain_fn = jax.jit(chain_pipeline)
-
     def collect(fn):
         out = []
         for frames in eval_frames:
@@ -183,32 +294,11 @@ def main(argv=None):
             ))
         return out
 
-    print("decoding bf16 + int8 (per-layer + chain)...", flush=True)
-    dets_bf16 = collect(bf16_fn)
-    dets_int8 = collect(int8_fn)
-    dets_chain = collect(chain_fn)
-    truths = []
-    for _, truth in eval_sets:
-        truths.extend(truths_from_batch(truth))
-
-    result = {
-        "steps": args.steps,
-        "quantized_convs": len(scales),
-        "percentile": args.percentile,
-        "n_eval_samples": len(truths),
-    }
-    for name, dets in (("bf16", dets_bf16), ("int8", dets_int8),
-                       ("int8_chain", dets_chain)):
-        _, precision, recall = precision_recall_curve(
-            dets, truths, iou_match(0.5)
-        )
-        result[f"{name}_ap_iou0.5"] = round(
-            average_precision(precision, recall), 4
-        )
-
-    def agreement(dets_a, dets_b, tag):
-        # detection agreement vs bf16: greedy same-label nearest match.
-        center_deltas, score_deltas, matched, total = [], [], 0, 0
+    def pair_deltas(dets_a, dets_b):
+        """Greedy same-label nearest matching of decoded detections;
+        returns agreement stats (the decoded-parity evidence)."""
+        center_deltas, score_deltas, size_deltas = [], [], []
+        matched, total = 0, 0
         for db, di in zip(dets_a, dets_b):
             total += len(db)
             used = set()
@@ -223,26 +313,123 @@ def main(argv=None):
                 if best is not None:
                     used.add(best)
                     matched += 1
+                    q = di[best]
                     center_deltas.append(best_dist)
-                    score_deltas.append(abs(d.score - di[best].score))
+                    score_deltas.append(abs(d.score - q.score))
+                    size_deltas.append(max(abs(d.h - q.h), abs(d.w - q.w)))
 
-        result["bf16_detections"] = total
-        result[f"{tag}_matched_fraction"] = round(
-            matched / max(total, 1), 4
+        stats = {
+            "total": total,
+            "matched_fraction": round(matched / max(total, 1), 4),
+        }
+        for vals, what in ((center_deltas, "center"),
+                           (score_deltas, "score"),
+                           (size_deltas, "size")):
+            if not vals:
+                continue
+            for p in (50, 95):
+                stats[f"{what}_delta_p{p}"] = round(
+                    float(np.percentile(vals, p)), 6
+                )
+            stats[f"{what}_delta_max"] = round(float(np.max(vals)), 6)
+        if score_deltas:
+            stats["all_deltas_le_1e3"] = bool(
+                np.percentile(score_deltas, 95) <= 1e-3
+                and np.percentile(center_deltas, 95) <= 1e-3
+                and np.percentile(size_deltas, 95) <= 1e-3
+            )
+        return stats
+
+    bf16_fn = jax.jit(raw_pipeline)
+    print("decoding bf16 reference...", flush=True)
+    dets_bf16 = collect(bf16_fn)
+    truths = []
+    for _, truth in eval_sets:
+        truths.extend(truths_from_batch(truth))
+
+    cal_frames = [f[:4] for f in eval_frames[: args.cal_batches]]
+
+    from tauv_vision_tpu.serving.quantize_chain import dla34_chain_forward
+
+    def make_chain_fn(scales, corrections=None):
+        chain_forward = dla34_chain_forward(
+            object_config, trained, scales, corrections=corrections
         )
-        if center_deltas:
-            result[f"{tag}_center_delta_p50"] = round(
-                float(np.percentile(center_deltas, 50)), 5
-            )
-            result[f"{tag}_center_delta_p95"] = round(
-                float(np.percentile(center_deltas, 95)), 5
-            )
-            result[f"{tag}_score_delta_p50"] = round(
-                float(np.percentile(score_deltas, 50)), 5
-            )
-            result[f"{tag}_score_delta_p95"] = round(
-                float(np.percentile(score_deltas, 95)), 5
-            )
+
+        def chain_pipeline(frames_uint8):
+            img = frames_uint8.astype(jnp.bfloat16) / 255.0
+            return decode(chain_forward(img), model_config, 10, 0.3)
+
+        return jax.jit(chain_pipeline)
+
+    if args.sweep:
+        return _run_sweep(
+            args, raw_pipeline, cal_frames, make_chain_fn, collect,
+            pair_deltas, dets_bf16, truths,
+        )
+
+    print("calibrating int8...", flush=True)
+    scales = calibrate(
+        raw_pipeline, cal_frames, percentile=args.percentile,
+        per_channel=args.per_channel,
+    )
+    if args.bf16_heads:
+        scales = strip_scales(scales, ("head_",))
+    corrections = None
+    if args.bias_correct:
+        print("computing bias corrections...", flush=True)
+        corrections = calibrate_bias_correction(
+            raw_pipeline, cal_frames, scales
+        )
+    int8_fn = jax.jit(quantized_call(raw_pipeline, scales))
+    chain_fn = make_chain_fn(scales, corrections)
+
+    print("decoding int8 (per-layer + chain)...", flush=True)
+    dets_int8 = collect(int8_fn)
+    dets_chain = collect(chain_fn)
+
+    result = {
+        "steps": args.steps,
+        "quantized_convs": len(scales),
+        "percentile": args.percentile,
+        "per_channel": args.per_channel,
+        "bias_correct": args.bias_correct,
+        "bf16_heads": args.bf16_heads,
+        "n_eval_samples": len(truths),
+    }
+
+    def ap_of(indices, dets):
+        _, precision, recall = precision_recall_curve(
+            [dets[i] for i in indices], [truths[i] for i in indices],
+            iou_match(0.5),
+        )
+        return average_precision(precision, recall)
+
+    boot_rng = np.random.default_rng(42)
+    all_idx = list(range(len(truths)))
+    for name, dets in (("bf16", dets_bf16), ("int8", dets_int8),
+                       ("int8_chain", dets_chain)):
+        result[f"{name}_ap_iou0.5"] = round(ap_of(all_idx, dets), 4)
+        if args.bootstrap:
+            # Bootstrap over images: AP is a function of the image set,
+            # so resampling images (not detections) gives the sampling
+            # distribution of the reported AP.
+            aps = [
+                ap_of(
+                    boot_rng.integers(0, len(truths), len(truths)), dets
+                )
+                for _ in range(args.bootstrap)
+            ]
+            result[f"{name}_ap_ci95"] = [
+                round(float(np.percentile(aps, 2.5)), 4),
+                round(float(np.percentile(aps, 97.5)), 4),
+            ]
+
+    def agreement(dets_a, dets_b, tag):
+        stats = pair_deltas(dets_a, dets_b)
+        result["bf16_detections"] = stats.pop("total")
+        for k, v in stats.items():
+            result[f"{tag}_{k}"] = v
 
     agreement(dets_bf16, dets_int8, "int8")
     agreement(dets_bf16, dets_chain, "int8_chain")

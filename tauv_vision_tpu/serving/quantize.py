@@ -65,7 +65,8 @@ def calibrate(
     batches: Sequence[Any],
     min_in_channels: int = 16,
     percentile: Optional[float] = None,
-) -> Dict[str, float]:
+    per_channel: bool = False,
+):
     """Run ``apply_fn(batch)`` over batches recording per-conv input
     activation ranges.
 
@@ -74,8 +75,17 @@ def calibrate(
     with ``percentile`` set (e.g. 99.9), that percentile of |input| —
     clipping rare outliers trades a little saturation for finer
     resolution on the bulk of the distribution.
+
+    With ``per_channel=True`` the scale is a per-input-channel vector
+    (shape [C_in]) instead of a scalar: post-BN-ReLU channel ranges vary
+    widely, so a shared scale wastes most of the int8 grid on the
+    quiet channels.  The chain-fused path folds the per-channel scales
+    into the weights before weight quantization (quantize_chain.py), so
+    the int8 conv itself is unchanged.
     """
-    absmax: Dict[str, float] = {}
+    import numpy as np
+
+    absmax: Dict[str, Any] = {}
 
     def recorder(next_fn, args, kwargs, context):
         if (
@@ -86,24 +96,143 @@ def calibrate(
         ):
             path = _conv_path(context)
             magnitude = jnp.abs(args[0])
-            if percentile is None:
-                value = float(magnitude.max())
+            if per_channel:
+                flat = magnitude.reshape(-1, magnitude.shape[-1])
+                if percentile is None:
+                    value = np.asarray(flat.max(axis=0), np.float64)
+                else:
+                    value = np.asarray(
+                        jnp.percentile(flat, percentile, axis=0), np.float64
+                    )
+                prev = absmax.get(path)
+                absmax[path] = (
+                    value if prev is None else np.maximum(prev, value)
+                )
             else:
-                value = float(jnp.percentile(magnitude, percentile))
-            absmax[path] = max(absmax.get(path, 0.0), value)
+                if percentile is None:
+                    value = float(magnitude.max())
+                else:
+                    value = float(jnp.percentile(magnitude, percentile))
+                absmax[path] = max(absmax.get(path, 0.0), value)
         return next_fn(*args, **kwargs)
 
     for batch in batches:
         with _intercept(recorder):
             apply_fn(batch)
 
+    if per_channel:
+        return {
+            path: np.maximum(v, 1e-6) / 127.0 for path, v in absmax.items()
+        }
     return {path: max(v, 1e-6) / 127.0 for path, v in absmax.items()}
 
 
-def _quantized_conv(module: nn.Conv, x: jnp.ndarray, act_scale: float):
+def calibrate_bias_correction(
+    apply_fn,
+    batches: Sequence[Any],
+    scales: Dict[str, Any],
+    min_in_channels: int = 16,
+) -> Dict[str, Any]:
+    """Per-output-channel bias correction for the int8 chain.
+
+    Weight + activation rounding give each conv a small systematic
+    per-channel output offset E[conv_f32(x) - dequant(conv_int8(q(x)))].
+    Folding that expectation (estimated over calibration batches, with
+    x taken from the float forward) into the conv's epilogue removes the
+    bias component of the quantization error; the remaining error is
+    zero-mean rounding noise.  Returns {module_path: correction[C_out]}
+    to be ADDED to the dequantized accumulator (quantize_chain.run_layer
+    applies it before the BN affine, where the error arises).
+    """
+    import numpy as np
+
+    sums: Dict[str, Any] = {}
+    counts: Dict[str, int] = {}
+
+    def recorder(next_fn, args, kwargs, context):
+        if (
+            context.method_name == "__call__"
+            and args
+            and isinstance(args[0], jnp.ndarray)
+            and _should_quantize(context.module, args[0], min_in_channels)
+            and _conv_path(context) in scales
+            and isinstance(context.module, nn.Conv)
+        ):
+            path = _conv_path(context)
+            module = context.module
+            x = args[0].astype(jnp.float32)
+            s_in = jnp.asarray(scales[path], jnp.float32)
+            kernel = module.variables["params"]["kernel"].astype(jnp.float32)
+            folded = kernel * s_in.reshape(
+                (1,) * (kernel.ndim - 2) + (-1, 1)
+            ) if s_in.ndim else kernel * s_in
+            w_absmax = jnp.max(
+                jnp.abs(folded.reshape(-1, folded.shape[-1])), axis=0
+            )
+            w_scale = jnp.maximum(w_absmax, 1e-6) / 127.0
+            qk = jnp.clip(jnp.round(folded / w_scale), -127, 127).astype(
+                jnp.int8
+            )
+            qx = jnp.clip(jnp.round(x / s_in), -127, 127).astype(jnp.int8)
+
+            strides = module.strides or (1, 1)
+            if isinstance(strides, int):
+                strides = (strides, strides)
+            padding = module.padding
+            if isinstance(padding, int):
+                padding = ((padding, padding), (padding, padding))
+            elif isinstance(padding, (list, tuple)) and padding and isinstance(
+                padding[0], int
+            ):
+                padding = tuple((p, p) for p in padding)
+
+            def conv(lhs, rhs, acc_type):
+                return jax.lax.conv_general_dilated(
+                    lhs, rhs, window_strides=tuple(strides), padding=padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=module.feature_group_count,
+                    preferred_element_type=acc_type,
+                )
+
+            out_f = conv(x, kernel, jnp.float32)
+            out_q = conv(qx, qk, jnp.int32).astype(jnp.float32) * w_scale
+            diff = np.asarray(
+                jnp.mean(out_f - out_q, axis=(0, 1, 2)), np.float64
+            )
+            sums[path] = sums.get(path, 0.0) + diff
+            counts[path] = counts.get(path, 0) + 1
+        return next_fn(*args, **kwargs)
+
+    for batch in batches:
+        with _intercept(recorder):
+            apply_fn(batch)
+
+    return {path: sums[path] / counts[path] for path in sums}
+
+
+def strip_scales(scales: Dict[str, Any], substrings) -> Dict[str, Any]:
+    """Drop calibration entries whose path contains any substring —
+    layers removed here run bf16 in the chain (e.g. the output heads,
+    whose convs are a rounding-error fraction of total FLOPs but feed
+    the decoded outputs directly)."""
+    return {
+        p: s for p, s in scales.items()
+        if not any(sub in p for sub in substrings)
+    }
+
+
+def _quantized_conv(module: nn.Conv, x: jnp.ndarray, act_scale):
     """int8 x int8 -> int32 convolution with per-output-channel weight
-    scales, dequantized to f32 (+ bias)."""
+    scales, dequantized to f32 (+ bias).  ``act_scale`` may be a scalar
+    or a per-input-channel vector; vectors are folded into the kernel
+    before weight quantization (see quantize_chain._wq)."""
     kernel = module.variables["params"]["kernel"].astype(jnp.float32)
+    act_scale = jnp.asarray(act_scale, jnp.float32)
+    per_channel = act_scale.ndim >= 1
+    if per_channel:
+        kernel = kernel * act_scale.reshape(
+            (1,) * (kernel.ndim - 2) + (-1, 1)
+        )
     w_absmax = jnp.max(
         jnp.abs(kernel.reshape(-1, kernel.shape[-1])), axis=0
     )
@@ -139,7 +268,9 @@ def _quantized_conv(module: nn.Conv, x: jnp.ndarray, act_scale: float):
         preferred_element_type=jnp.int32,
     )
 
-    out = acc.astype(jnp.float32) * (act_scale * w_scale)
+    out = acc.astype(jnp.float32) * (
+        w_scale if per_channel else act_scale * w_scale
+    )
     if module.use_bias:
         out = out + module.variables["params"]["bias"].astype(jnp.float32)
     return out.astype(module.dtype or x.dtype)

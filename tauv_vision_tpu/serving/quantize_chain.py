@@ -51,18 +51,36 @@ def _get(tree, path: str):
     return node
 
 
-def _wq(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-output-channel symmetric int8 weight quantization (HWIO)."""
+def _wq(kernel: jnp.ndarray, in_scale=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel symmetric int8 weight quantization (HWIO).
+
+    With ``in_scale`` a per-input-channel activation scale vector, the
+    scales are folded into the kernel first (w'[k,c,o] = w * s_in[c]),
+    so the int8 accumulator dequantizes with the weight scale alone —
+    this is how per-channel activation quantization rides the MXU
+    without any change to the conv itself.
+    """
     kernel = kernel.astype(jnp.float32)
+    if in_scale is not None:
+        kernel = kernel * jnp.asarray(in_scale, jnp.float32).reshape(
+            (1,) * (kernel.ndim - 2) + (-1, 1)
+        )
     absmax = jnp.max(jnp.abs(kernel.reshape(-1, kernel.shape[-1])), axis=0)
     scale = jnp.maximum(absmax, 1e-6) / 127.0
     q = jnp.clip(jnp.round(kernel / scale), -127, 127).astype(jnp.int8)
     return q, scale
 
 
-def _quant(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+def _is_per_channel(scale) -> bool:
+    return getattr(scale, "ndim", 0) >= 1
+
+
+def _quant(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """Symmetric int8 quantization; ``scale`` is a scalar or a
+    per-channel vector broadcast over the trailing (channel) axis."""
+    s = jnp.asarray(scale, jnp.float32)
     return jnp.clip(
-        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+        jnp.round(x.astype(jnp.float32) / s), -127, 127
     ).astype(jnp.int8)
 
 
@@ -82,14 +100,23 @@ def _leaky(y):
 
 
 class ChainCtx:
-    """Parameters + calibration scales for a chain-fused forward."""
+    """Parameters + calibration scales for a chain-fused forward.
+
+    ``scales`` values may be scalars (per-tensor) or per-input-channel
+    vectors (``calibrate(per_channel=True)``).  ``corrections`` maps
+    conv paths to per-output-channel bias corrections
+    (``calibrate_bias_correction``), added to the dequantized
+    accumulator before the BN affine.
+    """
 
     def __init__(self, variables, scales: Dict[str, float],
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16,
+                 corrections: Optional[Dict[str, np.ndarray]] = None):
         self.params = variables["params"]
         self.stats = variables.get("batch_stats", {})
         self.scales = scales
         self.dtype = dtype
+        self.corrections = corrections or {}
 
     def s(self, path: str) -> float:
         return self.scales[path]
@@ -139,14 +166,22 @@ class ChainCtx:
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ).astype(jnp.float32)
         elif self.has(path):
-            q = inp if inp.dtype == jnp.int8 else _quant(inp, self.s(path))
-            qk, w_scale = _wq(p["kernel"])
+            s_in = self.s(path)
+            q = inp if inp.dtype == jnp.int8 else _quant(inp, s_in)
+            if _is_per_channel(s_in):
+                qk, w_scale = _wq(p["kernel"], in_scale=s_in)
+                deq = w_scale  # s_in folded into the weights
+            else:
+                qk, w_scale = _wq(p["kernel"])
+                deq = s_in * w_scale
             acc = jax.lax.conv_general_dilated(
                 q, qk, window_strides=tuple(strides), padding=padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
             )
-            y = acc.astype(jnp.float32) * (self.s(path) * w_scale)
+            y = acc.astype(jnp.float32) * deq
+            if path in self.corrections:
+                y = y + jnp.asarray(self.corrections[path], jnp.float32)
         else:
             assert inp.dtype != jnp.int8, (
                 f"producer emitted int8 but {path} is uncalibrated"
@@ -352,14 +387,14 @@ def prediction_head_chain(
 
 
 def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
-                         dtype=jnp.bfloat16):
+                         dtype=jnp.bfloat16, corrections=None):
     """Returns ``fn(img) -> YolactPrediction`` running the chain-int8
     YOLACT forward (models/yolact.py:50-116)."""
     from tauv_vision_tpu.models.yolact import YolactPrediction
     from tauv_vision_tpu.ops.anchors import get_all_anchors
 
     cfg = model_config
-    ctx = ChainCtx(variables, scales, dtype=dtype)
+    ctx = ChainCtx(variables, scales, dtype=dtype, corrections=corrections)
     anchor = jnp.asarray(
         get_all_anchors(cfg.in_h, cfg.in_w, cfg.n_fpn_levels,
                         cfg.anchor_scales, cfg.anchor_aspect_ratios)
@@ -399,6 +434,7 @@ def make_yolact_chain_pipeline(
     model_config, variables, scales: Dict[str, float],
     top_k: int = 20, iou_threshold: float = 0.5,
     confidence_threshold: float = 0.5, dtype=jnp.bfloat16, jit: bool = True,
+    corrections=None,
 ):
     """uint8 frames -> decoded YolactDetections via the chain-int8
     forward (drop-in for make_yolact_pipeline + quantized_call)."""
@@ -406,7 +442,8 @@ def make_yolact_chain_pipeline(
     from tauv_vision_tpu.serving.yolact_decode import decode_yolact
 
     cfg = model_config
-    forward = yolact_chain_forward(cfg, variables, scales, dtype=dtype)
+    forward = yolact_chain_forward(cfg, variables, scales, dtype=dtype,
+                                   corrections=corrections)
 
     def pipeline(img_uint8):
         img = preprocess(
@@ -566,7 +603,8 @@ def _ida_stage_chain(ctx: ChainCtx, layers, prefix: str, up_factors):
 
 
 def dla34_chain_forward(object_config, variables,
-                        scales: Dict[str, float], dtype=jnp.bfloat16):
+                        scales: Dict[str, float], dtype=jnp.bfloat16,
+                        corrections=None):
     """Chain-int8 CenterpointDLA34 forward (plain-conv IDA, the bench
     serving configuration) -> Prediction (models/centerpoint_dla.py
     DLASeg + CenterpointDLA34)."""
@@ -574,7 +612,7 @@ def dla34_chain_forward(object_config, variables,
     from tauv_vision_tpu.models.centernet import Prediction
     from tauv_vision_tpu.models.centerpoint_dla import DLA34_CHANNELS
 
-    ctx = ChainCtx(variables, scales, dtype=dtype)
+    ctx = ChainCtx(variables, scales, dtype=dtype, corrections=corrections)
     oc = object_config
     head_channels = get_head_channels(oc)
     first_level = 2  # down_ratio 4
@@ -651,7 +689,7 @@ def dla34_chain_forward(object_config, variables,
 def make_centernet_chain_pipeline(
     model_config, object_config, variables, scales: Dict[str, float],
     n_detections: int = 10, score_threshold: float = 0.6,
-    dtype=jnp.bfloat16, jit: bool = True,
+    dtype=jnp.bfloat16, jit: bool = True, corrections=None,
 ):
     """uint8 frames -> decoded Detections via the chain-int8 DLA-34
     forward (drop-in for make_centernet_pipeline + quantized_call)."""
@@ -663,7 +701,7 @@ def make_centernet_chain_pipeline(
     )
 
     forward = dla34_chain_forward(object_config, variables, scales,
-                                  dtype=dtype)
+                                  dtype=dtype, corrections=corrections)
 
     def pipeline(img_uint8):
         img = preprocess(

@@ -76,6 +76,9 @@ class CenternetLosses:
     depth: jnp.ndarray
     avg_size_error: jnp.ndarray
     max_size_error: jnp.ndarray
+    # DCN offset-range penalty (0 when disabled or deform=False); added
+    # by the train step, which has access to the sown offsets.
+    dcn_offset: jnp.ndarray = 0.0
 
 
 def _modulo_table(object_config: ObjectConfigSet, which: str) -> np.ndarray:

@@ -29,7 +29,36 @@ from tauv_vision_tpu.parallel.mesh import (
     small_map_guard,
     spatial_sharding,
 )
+import jax.numpy as jnp
+
 from tauv_vision_tpu.train.centernet_task import CenternetTruth, centernet_loss
+
+
+def dcn_offset_penalty(intermediates, offset_range: float) -> jnp.ndarray:
+    """Mean squared out-of-range excess over every sown ``dcn_offset``
+    tensor (models/centerpoint_dla.py DeformConvBlock).  Returns 0.0
+    when the model has no DCN blocks."""
+    leaves = [
+        leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            intermediates
+        )[0]
+        if "dcn_offset" in jax.tree_util.keystr(path)
+    ]
+    if not leaves:
+        return jnp.asarray(0.0, jnp.float32)
+    excess_sq_sum = sum(
+        jnp.sum(
+            jnp.square(
+                jnp.maximum(
+                    jnp.abs(o.astype(jnp.float32)) - offset_range, 0.0
+                )
+            )
+        )
+        for o in leaves
+    )
+    count = sum(o.size for o in leaves)
+    return excess_sq_sum / count
 from tauv_vision_tpu.train.state import TrainState
 from tauv_vision_tpu.train.watch import watch_metrics
 from tauv_vision_tpu.train.yolact_task import YolactTruth, yolact_loss
@@ -60,17 +89,34 @@ def make_centernet_train_step(
     mesh: Optional[Mesh] = None,
     watch: bool = False,
 ):
+    reg = getattr(train_config, "loss_lambda_dcn_offset", 0.0)
+    reg_range = getattr(train_config, "dcn_offset_range", 1.0)
+
     def loss_fn(params, batch_stats, img, truth: CenternetTruth):
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"]
+        if reg > 0:
+            mutable.append("intermediates")
         with small_map_guard(mesh):
             prediction, mutated = model.apply(
-                variables, img, train=True, mutable=["batch_stats"]
+                variables, img, train=True, mutable=mutable
             )
         losses = centernet_loss(
             prediction, truth, model_config, train_config, object_config
         )
+        if reg > 0:
+            # Penalize learned DCN offsets beyond the serving radius
+            # (sown by DeformConvBlock): quadratic outside the range,
+            # zero inside, so the R-bounded kernels become exact in
+            # practice without biasing in-range offsets.
+            penalty = dcn_offset_penalty(
+                mutated.get("intermediates", {}), reg_range
+            )
+            losses = losses.replace(
+                dcn_offset=penalty, total=losses.total + reg * penalty
+            )
         return losses.total, (losses, mutated.get("batch_stats"))
 
     def step(state: TrainState, img, truth: CenternetTruth):
