@@ -89,3 +89,65 @@ def generate_square_batch(
         depth=np.ones_like(yaw),
     )
     return img, truth
+
+
+def generate_square_seg_batch(
+    rng: np.random.Generator,
+    batch_size: int,
+    config: Optional[SquareDatasetConfig] = None,
+):
+    """Synthetic instance-segmentation batch for the YOLACT workload:
+    axis-aligned colored squares on noise, instance seg map in the
+    dataset-dir convention (object index per pixel, 255 = background —
+    segmentation_dataset.py semantics).
+
+    Returns ``(img [B, H, W, 3] float32, fields)`` with fields a dict of
+    numpy arrays shaped like :class:`~...train.yolact_task.YolactTruth`:
+    valid [B, M], classification [B, M] (all 1 = the square class),
+    box [B, M, 4] normalized (y, x, h, w), seg [B, H, W] uint8,
+    img_valid [B, H, W] bool (all True — no warp-invalid regions).
+    """
+    cfg = config or SquareDatasetConfig()
+    h, w, n = cfg.in_h, cfg.in_w, cfg.max_objects
+
+    img = rng.uniform(0, cfg.noise_level, (batch_size, h, w, 3)).astype(
+        np.float32
+    )
+    seg = np.full((batch_size, h, w), 255, np.uint8)
+    valid = np.zeros((batch_size, n), bool)
+    classification = np.zeros((batch_size, n), np.int32)
+    box = np.zeros((batch_size, n, 4), np.float32)
+
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    for b in range(batch_size):
+        n_objects = int(rng.integers(1, n + 1))
+        placed = 0
+        for _ in range(n_objects):
+            # Reject overlapping placements (10 attempts) so each
+            # instance's box stays consistent with its full mask.
+            for _attempt in range(10):
+                side = float(rng.uniform(cfg.min_side, cfg.max_side))
+                cy = float(rng.uniform(side, h - side))
+                cx = float(rng.uniform(side, w - side))
+                inside = (np.abs(ys - cy) <= side / 2) & (
+                    np.abs(xs - cx) <= side / 2
+                )
+                if (seg[b][inside] == 255).all():
+                    break
+            else:
+                continue
+            color = rng.uniform(0.5, 1.0, 3).astype(np.float32)
+            img[b][inside] = color
+            seg[b][inside] = placed
+            valid[b, placed] = True
+            classification[b, placed] = 1
+            box[b, placed] = (cy / h, cx / w, side / h, side / w)
+            placed += 1
+
+    return img, {
+        "valid": valid,
+        "classification": classification,
+        "box": box,
+        "seg": seg,
+        "img_valid": np.ones((batch_size, h, w), bool),
+    }

@@ -68,6 +68,17 @@ def _install_reference_stubs():
         sys.modules["spatialmath"] = sm
 
 
+def _force_cpu():
+    """Re-point jax at CPU even though this image's sitecustomize has
+    already initialized the TPU backend (same trick as tests/conftest.py
+    — env vars alone are too late)."""
+    import jax
+    from jax.extend import backend
+
+    jax.config.update("jax_platforms", "cpu")
+    backend.clear_backends()
+
+
 class _Bag:
     def __init__(self, **kw):
         self.__dict__.update(kw)
@@ -300,8 +311,12 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--n-detections", type=int, default=8)
     parser.add_argument("--log-every", type=int, default=25)
+    parser.add_argument("--cpu", action="store_true",
+                        help="run the jax side on CPU (leave the TPU free)")
     parser.add_argument("--out", default=None, help="JSON result path")
     args = parser.parse_args(argv)
+    if args.cpu:
+        _force_cpu()
 
     from tauv_vision_tpu.eval.detection_eval import (
         average_precision,
