@@ -358,7 +358,9 @@ def build_centernet_keypoints():
         n_detections=10, keypoint_n_detections=50,
         score_threshold=0.6, keypoint_score_threshold=0.3, jit=jit,
     )
-    return make(True), make(False), variables
+    extras = {"model_config": model_config, "object_config": object_config,
+              "projection": projection}
+    return make(True), make(False), variables, extras
 
 
 def build_yolo_pose(with_pnp: bool = True):
@@ -409,7 +411,9 @@ def build_yolo_pose(with_pnp: bool = True):
         object_points=object_points if with_pnp else None,
         camera_matrix=camera if with_pnp else None, jit=jit,
     )
-    return make(True), make(False), variables
+    extras = {"model_config": model_config, "with_pnp": with_pnp,
+              "object_points": object_points, "camera": camera}
+    return make(True), make(False), variables, extras
 
 
 def time_chained_dispatch(pipeline, variables, frames, n=6, n_reps=2):
@@ -463,7 +467,7 @@ def run_aux_bench(family: str, batch_size: int):
                      dtype=np.uint8)
     )
     if family == "keypoints":
-        pipeline, raw, variables = build_centernet_keypoints()
+        pipeline, raw, variables, extras = build_centernet_keypoints()
         timer = time_chained
     else:
         # The fused YOLO-Pose graph WITH in-graph PnP intermittently
@@ -473,13 +477,45 @@ def run_aux_bench(family: str, batch_size: int):
         # (tests/test_se3_pnp.py; bisected on-chip), so the bench times
         # the belief-peak pipeline and PnP stays a separate dispatch in
         # serving until the runtime fault is resolved.
-        pipeline, raw, variables = build_yolo_pose(with_pnp=False)
+        pipeline, raw, variables, extras = build_yolo_pose(with_pnp=False)
         timer = time_chained_dispatch  # see its docstring
 
     t_bf16 = timer(pipeline, variables, frames, 3)
-    q, n_q = quantize_pipeline(
-        raw, variables, frames, f"{family}_b{batch_size}"
-    )
+
+    # Chain-fused int8 (the default serving profile, like the headline
+    # bench); --per-layer-int8 selects the interceptor path instead.
+    per_layer = "--per-layer-int8" in sys.argv
+    scales = load_scales(raw, variables, frames, f"{family}_b{batch_size}")
+    if per_layer:
+        q, n_q = quantize_pipeline(
+            raw, variables, frames, f"{family}_b{batch_size}"
+        )
+    elif family == "keypoints":
+        from tauv_vision_tpu.serving.quantize_chain import (
+            make_centernet_keypoint_chain_pipeline,
+        )
+
+        q = make_centernet_keypoint_chain_pipeline(
+            extras["model_config"], extras["object_config"], variables,
+            scales, extras["projection"], n_detections=10,
+            keypoint_n_detections=50, score_threshold=0.6,
+            keypoint_score_threshold=0.3,
+        )
+        n_q = len(scales)
+    else:
+        from tauv_vision_tpu.serving.quantize_chain import (
+            make_yolo_pose_chain_pipeline,
+        )
+
+        q = make_yolo_pose_chain_pipeline(
+            extras["model_config"], variables, scales, top_k=10,
+            iou_threshold=0.5, confidence_threshold=0.5,
+            object_points=(
+                extras["object_points"] if extras["with_pnp"] else None
+            ),
+            camera_matrix=extras["camera"] if extras["with_pnp"] else None,
+        )
+        n_q = len(scales)
     t_int8 = timer(lambda v, f: q(f), variables, frames, 3)
 
     result = {
@@ -490,6 +526,7 @@ def run_aux_bench(family: str, batch_size: int):
             "batch_size": batch_size,
             "bf16_fps": round(batch_size / t_bf16, 2),
             "int8_fps": round(batch_size / t_int8, 2),
+            "int8_mode": "per-layer" if per_layer else "chain",
             "quantized_convs": n_q,
             "device": str(jax.devices()[0]),
         },

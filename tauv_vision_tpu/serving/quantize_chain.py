@@ -713,3 +713,209 @@ def make_centernet_chain_pipeline(
                       score_threshold)
 
     return jax.jit(pipeline) if jit else pipeline
+
+
+def make_centernet_keypoint_chain_pipeline(
+    model_config, object_config, variables, scales: Dict[str, float],
+    projection_matrix,
+    n_detections: int = 10, keypoint_n_detections: int = 50,
+    score_threshold: float = 0.6, keypoint_score_threshold: float = 0.3,
+    dtype=jnp.bfloat16, jit: bool = True, corrections=None,
+):
+    """Chain-int8 keypoint+PnP pipeline: the centernet node's FULL
+    configuration (centernet_node.py:106-116) over the chain-fused
+    DLA-34 forward (dla34_chain_forward emits every head, including
+    keypoint heatmap/affinity, so only the decode differs from
+    make_centernet_chain_pipeline)."""
+    from tauv_vision_tpu.ops.image import preprocess
+    from tauv_vision_tpu.serving.centernet_decode import decode_keypoints
+    from tauv_vision_tpu.serving.pipeline import (
+        IMAGENET_MEAN,
+        IMAGENET_STDDEV,
+    )
+
+    projection_matrix = jnp.asarray(projection_matrix)
+    forward = dla34_chain_forward(object_config, variables, scales,
+                                  dtype=dtype, corrections=corrections)
+
+    def pipeline(img_uint8):
+        img = preprocess(
+            img_uint8, (model_config.in_h, model_config.in_w),
+            IMAGENET_MEAN, IMAGENET_STDDEV, dtype=dtype,
+        )
+        prediction = forward(img)
+        return decode_keypoints(
+            prediction, model_config, object_config, projection_matrix,
+            n_detections, keypoint_n_detections,
+            score_threshold, keypoint_score_threshold,
+        )
+
+    return jax.jit(pipeline) if jit else pipeline
+
+
+# ------------------------------------------------------ YOLO-Pose chain
+
+
+def _pointnet_stage_chain(ctx: ChainCtx, x, prefix: str, kernel: int,
+                          count: int):
+    """PointnetStage (models/pointnet.py:17-42) with every conv->leaky->
+    conv link int8: conv_0..conv_{n} -> reduce(1x1) -> out(1x1), leaky
+    between convs, none after ``out``."""
+    chain = (
+        [f"{prefix}/conv_0"]
+        + [f"{prefix}/conv_{i + 1}" for i in range(count - 2)]
+        + [f"{prefix}/reduce", f"{prefix}/out"]
+    )
+    pads = [kernel // 2] * (count - 1) + [0, 0]
+    for i, (path, pad) in enumerate(zip(chain, pads)):
+        last = i == len(chain) - 1
+        x = ctx.run_layer(
+            x, path, padding=pad,
+            act=None if last else "leaky",
+            next_path=None if last else chain[i + 1],
+        )
+    return x.astype(jnp.float32)
+
+
+def _pointnet_chain(ctx: ChainCtx, fpn1, pointnet_layers):
+    """Pointnet cascade (models/pointnet.py:45-84): stage 0 consumes FPN
+    features; later stages re-consume (belief, affinity, features)
+    concats (bf16 joins, requantized at each stage's first conv)."""
+    beliefs, affinities = [], []
+    belief = affinity = None
+    for stage_i, (kernel, count, _final) in enumerate(pointnet_layers):
+        if stage_i == 0:
+            x = fpn1
+        else:
+            x = jnp.concatenate(
+                [belief.astype(ctx.dtype), affinity.astype(ctx.dtype),
+                 fpn1.astype(ctx.dtype)], axis=-1
+            )
+        belief = _pointnet_stage_chain(
+            ctx, x, f"pointnet/belief_{stage_i}", kernel, count
+        )
+        aff_in = (
+            jnp.concatenate(
+                [belief.astype(ctx.dtype), affinity.astype(ctx.dtype),
+                 fpn1.astype(ctx.dtype)], axis=-1
+            )
+            if stage_i > 0 else fpn1
+        )
+        affinity = _pointnet_stage_chain(
+            ctx, aff_in, f"pointnet/affinity_{stage_i}", kernel, count
+        )
+        beliefs.append(belief)
+        affinities.append(affinity)
+    return beliefs, affinities
+
+
+def _yolo_pose_head_chain(ctx: ChainCtx, fpn_output, cfg):
+    """YoloPoseHead (models/yolo_pose.py YoloPoseHead): shared
+    ExtraStages then five 3x3 output convs."""
+    x = fpn_output
+    for i in range(cfg.n_prediction_head_layers):
+        x = _extra_stage(ctx, x, f"prediction_head/shared_{i}")
+    b = fpn_output.shape[0]
+
+    def out(path, reshape, tanh=False):
+        y = ctx.run_layer(x, f"prediction_head/{path}", padding=1)
+        y = y.reshape(reshape).astype(jnp.float32)
+        return jnp.tanh(y) if tanh else y
+
+    return (
+        out("classification", (b, -1, cfg.n_classes + 1)),
+        out("box", (b, -1, 4)),
+        out("mask", (b, -1, cfg.n_prototype_masks), tanh=True),
+        out("belief",
+            (b, -1, cfg.belief_depth, cfg.prototype_belief_depth),
+            tanh=True),
+        out("affinity",
+            (b, -1, cfg.affinity_depth, cfg.prototype_affinity_depth),
+            tanh=True),
+    )
+
+
+def yolo_pose_chain_forward(model_config, variables,
+                            scales: Dict[str, float], dtype=jnp.bfloat16,
+                            corrections=None):
+    """Chain-int8 YoloPose forward (models/yolo_pose.py YoloPose;
+    reference intent yolo_pose/model/model.py:20-68).  Requires the
+    ResNet-18 backbone (the bench/serving configuration)."""
+    from tauv_vision_tpu.models.yolo_pose import YoloPosePrediction
+    from tauv_vision_tpu.ops.anchors import get_all_anchors
+
+    cfg = model_config
+    if cfg.backbone_depth != 18:
+        raise NotImplementedError(
+            "chain forward covers the ResNet-18 backbone"
+        )
+    ctx = ChainCtx(variables, scales, dtype=dtype, corrections=corrections)
+    anchor = jnp.asarray(
+        get_all_anchors(cfg.in_h, cfg.in_w, cfg.n_fpn_levels,
+                        cfg.anchor_scales, cfg.anchor_aspect_ratios)
+    )
+
+    def forward(img):
+        taps = resnet18_chain(ctx, img)
+        fpn_outputs = fpn_chain(ctx, taps, cfg.n_fpn_downsample_layers)
+        proto = protonet_chain(
+            ctx, fpn_outputs[0], cfg.n_masknet_layers_pre_upsample,
+            cfg.n_masknet_layers_post_upsample,
+        )
+        beliefs, affinities = _pointnet_chain(
+            ctx, fpn_outputs[1], cfg.pointnet_layers
+        )
+        outs = [_yolo_pose_head_chain(ctx, f, cfg) for f in fpn_outputs]
+        return YoloPosePrediction(
+            classification=jnp.concatenate([o[0] for o in outs], axis=1),
+            box_encoding=jnp.concatenate([o[1] for o in outs], axis=1),
+            mask_coeff=jnp.concatenate([o[2] for o in outs], axis=1),
+            belief_coeff=jnp.concatenate([o[3] for o in outs], axis=1),
+            affinity_coeff=jnp.concatenate([o[4] for o in outs], axis=1),
+            anchor=anchor,
+            mask_prototype=proto,
+            belief_prototypes=tuple(beliefs),
+            affinity_prototypes=tuple(affinities),
+        )
+
+    return forward
+
+
+def make_yolo_pose_chain_pipeline(
+    model_config, variables, scales: Dict[str, float],
+    top_k: int = 10, iou_threshold: float = 0.5,
+    confidence_threshold: float = 0.5,
+    keypoint_score_threshold: float = 0.3,
+    object_points=None, camera_matrix=None,
+    dtype=jnp.bfloat16, jit: bool = True, corrections=None,
+):
+    """uint8 frames -> decoded YOLO-Pose keypoints via the chain-int8
+    forward (drop-in for make_yolo_pose_pipeline + quantized_call)."""
+    from tauv_vision_tpu.ops.image import preprocess
+    from tauv_vision_tpu.serving.pipeline import (
+        IMAGENET_MEAN,
+        IMAGENET_STDDEV,
+    )
+    from tauv_vision_tpu.serving.yolo_pose_decode import decode_yolo_pose
+
+    cfg = model_config
+    if object_points is not None:
+        object_points = jnp.asarray(object_points)
+    if camera_matrix is not None:
+        camera_matrix = jnp.asarray(camera_matrix)
+    forward = yolo_pose_chain_forward(cfg, variables, scales, dtype=dtype,
+                                      corrections=corrections)
+
+    def pipeline(img_uint8):
+        img = preprocess(
+            img_uint8, (cfg.in_h, cfg.in_w), IMAGENET_MEAN,
+            IMAGENET_STDDEV, dtype=dtype,
+        )
+        prediction = forward(img)
+        return decode_yolo_pose(
+            prediction, cfg, top_k, iou_threshold, confidence_threshold,
+            keypoint_score_threshold, object_points=object_points,
+            camera_matrix=camera_matrix,
+        )
+
+    return jax.jit(pipeline) if jit else pipeline

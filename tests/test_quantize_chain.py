@@ -121,3 +121,65 @@ def test_dla34_chain_matches_per_layer_int8():
         assert np.abs(c - r).max() / denom < 0.5, (
             field, np.abs(c - r).max() / denom
         )
+
+
+@pytest.mark.slow
+def test_yolo_pose_chain_matches_per_layer_int8():
+    """Chain-int8 YOLO-Pose forward (quantize_chain.yolo_pose_chain_
+    forward) vs the per-layer interceptor and the float reference —
+    same bars as the YOLACT chain test above."""
+    from tauv_vision_tpu.configs.yolo_pose import YoloPoseModelConfig
+    from tauv_vision_tpu.models.yolo_pose import YoloPose
+    from tauv_vision_tpu.serving.quantize_chain import yolo_pose_chain_forward
+
+    cfg = YoloPoseModelConfig(
+        in_w=64, in_h=64, feature_depth=16, n_classes=2,
+        n_prototype_masks=4, belief_depth=3, affinity_depth=6,
+        prototype_belief_depth=4, prototype_affinity_depth=4,
+        pointnet_layers=((3, 3, 16), (3, 3, 16)),
+        pointnet_feature_depth=16, belief_sigma=1.0, affinity_radius=2.0,
+        n_masknet_layers_pre_upsample=1, n_masknet_layers_post_upsample=1,
+        n_prediction_head_layers=1, n_fpn_downsample_layers=2,
+        anchor_scales=(12, 24, 48, 96, 192), anchor_aspect_ratios=(1.0,),
+        box_variances=(0.1, 0.2), iou_pos_threshold=0.5,
+        iou_neg_threshold=0.4, negative_example_ratio=3,
+        backbone_depth=18,
+    )
+    model = YoloPose(cfg)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    apply_fn = lambda b: model.apply(variables, b, train=False)  # noqa: E731
+
+    scales = calibrate(apply_fn, [x])
+    per_layer = jax.jit(quantized_call(apply_fn, scales))(x)
+    chain = jax.jit(
+        yolo_pose_chain_forward(cfg, variables, scales, dtype=jnp.float32)
+    )(x)
+    ref = apply_fn(x)
+
+    fields = ("classification", "box_encoding", "mask_coeff",
+              "belief_coeff", "affinity_coeff", "mask_prototype")
+    for field in fields:
+        c = np.asarray(getattr(chain, field))
+        p = np.asarray(getattr(per_layer, field))
+        r = np.asarray(getattr(ref, field))
+        assert c.shape == p.shape == r.shape, field
+        assert np.isfinite(c).all(), field
+        denom = np.abs(r).max() + 1e-9
+        assert np.abs(c - p).max() / denom < 0.2, (
+            field, np.abs(c - p).max() / denom
+        )
+        assert np.abs(c - r).max() / denom < 0.5, (
+            field, np.abs(c - r).max() / denom
+        )
+    for stage in range(2):
+        for which in ("belief_prototypes", "affinity_prototypes"):
+            c = np.asarray(getattr(chain, which)[stage])
+            p = np.asarray(getattr(per_layer, which)[stage])
+            denom = np.abs(p).max() + 1e-9
+            assert c.shape == p.shape, which
+            assert np.abs(c - p).max() / denom < 0.2, (which, stage)
+    np.testing.assert_allclose(
+        np.asarray(chain.anchor), np.asarray(ref.anchor), atol=1e-6
+    )
