@@ -119,31 +119,78 @@ def make_yolo_pose_pipeline(
     camera_matrix=None,
     dtype=jnp.bfloat16,
     jit: bool = True,
+    split_pnp="auto",
 ):
     """Fused YOLO-Pose serving pipeline: uint8 frames -> belief-peak
     keypoints (+ optional PnP pose).  Completes the reference's empty
     ``yolo_pose/model/inference.py`` as a servable path; ``jit=False``
-    returns the raw traceable function (for int8 calibration)."""
-    from tauv_vision_tpu.serving.yolo_pose_decode import decode_yolo_pose
+    returns the raw traceable function (for int8 calibration).
+
+    ``split_pnp`` controls whether PnP fuses into the same program as
+    the model+decode or runs as its own dispatch over the decoded
+    keypoint tensors: "auto" (default) probes the runtime once
+    (serving/runtime_probe.fused_pnp_supported — the fused composition
+    crashes some TPU runtimes), True forces the split, False forces
+    fusion.  Only meaningful when ``jit=True`` and PnP is requested;
+    the split costs one extra dispatch of a few-KB tensors.
+    """
+    from tauv_vision_tpu.serving.yolo_pose_decode import (
+        attach_pnp,
+        decode_yolo_pose,
+    )
 
     if object_points is not None:
         object_points = jnp.asarray(object_points)
     if camera_matrix is not None:
         camera_matrix = jnp.asarray(camera_matrix)
 
-    def pipeline(variables, img_uint8):
-        img = preprocess(
-            img_uint8, (model_config.in_h, model_config.in_w),
-            IMAGENET_MEAN, IMAGENET_STDDEV, dtype=dtype,
-        )
-        prediction = model.apply(variables, img, train=False)
-        return decode_yolo_pose(
-            prediction, model_config, top_k, iou_threshold,
-            confidence_threshold, keypoint_score_threshold,
-            object_points=object_points, camera_matrix=camera_matrix,
-        )
+    want_pnp = object_points is not None and camera_matrix is not None
 
-    return jax.jit(pipeline) if jit else pipeline
+    def make(fuse_pnp: bool):
+        def pipeline(variables, img_uint8):
+            img = preprocess(
+                img_uint8, (model_config.in_h, model_config.in_w),
+                IMAGENET_MEAN, IMAGENET_STDDEV, dtype=dtype,
+            )
+            prediction = model.apply(variables, img, train=False)
+            return decode_yolo_pose(
+                prediction, model_config, top_k, iou_threshold,
+                confidence_threshold, keypoint_score_threshold,
+                object_points=object_points if fuse_pnp else None,
+                camera_matrix=camera_matrix if fuse_pnp else None,
+            )
+
+        return pipeline
+
+    if not jit:
+        return make(want_pnp)
+
+    split = False
+    if want_pnp:
+        if split_pnp == "auto":
+            from tauv_vision_tpu.serving.runtime_probe import (
+                fused_pnp_supported,
+            )
+
+            split = not fused_pnp_supported()
+        else:
+            split = bool(split_pnp)
+
+    if not split:
+        return jax.jit(make(want_pnp))
+
+    base = jax.jit(make(False))
+    pnp_fn = jax.jit(
+        lambda d: attach_pnp(
+            d, model_config, object_points, camera_matrix,
+            keypoint_score_threshold,
+        )
+    )
+
+    def split_pipeline(variables, img_uint8):
+        return pnp_fn(base(variables, img_uint8))
+
+    return split_pipeline
 
 
 def make_yolact_pipeline(

@@ -888,34 +888,73 @@ def make_yolo_pose_chain_pipeline(
     keypoint_score_threshold: float = 0.3,
     object_points=None, camera_matrix=None,
     dtype=jnp.bfloat16, jit: bool = True, corrections=None,
+    split_pnp="auto",
 ):
     """uint8 frames -> decoded YOLO-Pose keypoints via the chain-int8
-    forward (drop-in for make_yolo_pose_pipeline + quantized_call)."""
+    forward (drop-in for make_yolo_pose_pipeline + quantized_call).
+    ``split_pnp`` as in make_yolo_pose_pipeline (runtime-probed PnP
+    dispatch split)."""
     from tauv_vision_tpu.ops.image import preprocess
     from tauv_vision_tpu.serving.pipeline import (
         IMAGENET_MEAN,
         IMAGENET_STDDEV,
     )
-    from tauv_vision_tpu.serving.yolo_pose_decode import decode_yolo_pose
+    from tauv_vision_tpu.serving.yolo_pose_decode import (
+        attach_pnp,
+        decode_yolo_pose,
+    )
 
     cfg = model_config
     if object_points is not None:
         object_points = jnp.asarray(object_points)
     if camera_matrix is not None:
         camera_matrix = jnp.asarray(camera_matrix)
+    want_pnp = object_points is not None and camera_matrix is not None
     forward = yolo_pose_chain_forward(cfg, variables, scales, dtype=dtype,
                                       corrections=corrections)
 
-    def pipeline(img_uint8):
-        img = preprocess(
-            img_uint8, (cfg.in_h, cfg.in_w), IMAGENET_MEAN,
-            IMAGENET_STDDEV, dtype=dtype,
-        )
-        prediction = forward(img)
-        return decode_yolo_pose(
-            prediction, cfg, top_k, iou_threshold, confidence_threshold,
-            keypoint_score_threshold, object_points=object_points,
-            camera_matrix=camera_matrix,
-        )
+    def make(fuse_pnp: bool):
+        def pipeline(img_uint8):
+            img = preprocess(
+                img_uint8, (cfg.in_h, cfg.in_w), IMAGENET_MEAN,
+                IMAGENET_STDDEV, dtype=dtype,
+            )
+            prediction = forward(img)
+            return decode_yolo_pose(
+                prediction, cfg, top_k, iou_threshold,
+                confidence_threshold, keypoint_score_threshold,
+                object_points=object_points if fuse_pnp else None,
+                camera_matrix=camera_matrix if fuse_pnp else None,
+            )
 
-    return jax.jit(pipeline) if jit else pipeline
+        return pipeline
+
+    if not jit:
+        return make(want_pnp)
+
+    split = False
+    if want_pnp:
+        if split_pnp == "auto":
+            from tauv_vision_tpu.serving.runtime_probe import (
+                fused_pnp_supported,
+            )
+
+            split = not fused_pnp_supported()
+        else:
+            split = bool(split_pnp)
+
+    if not split:
+        return jax.jit(make(want_pnp))
+
+    base = jax.jit(make(False))
+    pnp_fn = jax.jit(
+        lambda d: attach_pnp(
+            d, cfg, object_points, camera_matrix,
+            keypoint_score_threshold,
+        )
+    )
+
+    def split_pipeline(img_uint8):
+        return pnp_fn(base(img_uint8))
+
+    return split_pipeline

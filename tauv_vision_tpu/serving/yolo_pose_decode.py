@@ -90,25 +90,10 @@ def decode_yolo_pose(
 
     pose_valid = pose_rotation = pose_translation = None
     if object_points is not None and camera_matrix is not None:
-        b, k, n_kp = kp_score.shape
-        image_points = jnp.stack(
-            (kp_x * config.in_w, kp_y * config.in_h), axis=-1
-        )  # (u, v) px
-        mask = kp_score >= keypoint_score_threshold
-        obj = jnp.broadcast_to(
-            object_points[None, None], (b, k, n_kp, 3)
+        pose_valid, pose_rotation, pose_translation = _solve_poses(
+            kp_y, kp_x, kp_score, keep, config, object_points,
+            camera_matrix, keypoint_score_threshold, pnp_iterations,
         )
-        result = solve_pnp_batch(
-            obj.reshape(b * k, n_kp, 3),
-            image_points.reshape(b * k, n_kp, 2),
-            camera_matrix,
-            mask.reshape(b * k, n_kp),
-            n_iterations=pnp_iterations,
-            min_points=4,
-        )
-        pose_valid = result.valid.reshape(b, k) & keep
-        pose_rotation = result.rotation.reshape(b, k, 3, 3)
-        pose_translation = result.translation.reshape(b, k, 3)
 
     return YoloPoseDetections(
         valid=keep,
@@ -119,6 +104,59 @@ def decode_yolo_pose(
         keypoint_y=kp_y,
         keypoint_x=kp_x,
         keypoint_score=kp_score,
+        pose_valid=pose_valid,
+        pose_rotation=pose_rotation,
+        pose_translation=pose_translation,
+    )
+
+
+def _solve_poses(kp_y, kp_x, kp_score, keep, config, object_points,
+                 camera_matrix, keypoint_score_threshold, pnp_iterations):
+    """Batched LM PnP over recovered keypoints (shared by the fused
+    decode above and the split dispatch below)."""
+    b, k, n_kp = kp_score.shape
+    image_points = jnp.stack(
+        (kp_x * config.in_w, kp_y * config.in_h), axis=-1
+    )  # (u, v) px
+    mask = kp_score >= keypoint_score_threshold
+    obj = jnp.broadcast_to(object_points[None, None], (b, k, n_kp, 3))
+    result = solve_pnp_batch(
+        obj.reshape(b * k, n_kp, 3),
+        image_points.reshape(b * k, n_kp, 2),
+        camera_matrix,
+        mask.reshape(b * k, n_kp),
+        n_iterations=pnp_iterations,
+        min_points=4,
+    )
+    return (
+        result.valid.reshape(b, k) & keep,
+        result.rotation.reshape(b, k, 3, 3),
+        result.translation.reshape(b, k, 3),
+    )
+
+
+def attach_pnp(
+    detections: YoloPoseDetections,
+    config: YoloPoseModelConfig,
+    object_points: jnp.ndarray,
+    camera_matrix: jnp.ndarray,
+    keypoint_score_threshold: float = 0.3,
+    pnp_iterations: int = 20,
+) -> YoloPoseDetections:
+    """PnP as its own dispatch over already-decoded detections.
+
+    On runtimes where the fully fused YOLO-Pose graph with in-graph PnP
+    is unstable (serving/runtime_probe.py), serving decodes without
+    object points and runs this jitted separately — the same math as
+    the fused branch, split at the keypoint tensors (a few KB crossing
+    the dispatch boundary)."""
+    pose_valid, pose_rotation, pose_translation = _solve_poses(
+        detections.keypoint_y, detections.keypoint_x,
+        detections.keypoint_score, detections.valid, config,
+        jnp.asarray(object_points), jnp.asarray(camera_matrix),
+        keypoint_score_threshold, pnp_iterations,
+    )
+    return detections.replace(
         pose_valid=pose_valid,
         pose_rotation=pose_rotation,
         pose_translation=pose_translation,
