@@ -68,6 +68,78 @@ def _install_reference_stubs():
         sys.modules["spatialmath"] = sm
 
 
+def make_torch_deform_conv2d():
+    """Pure-torch ``torchvision.ops.DeformConv2d`` drop-in (modulated
+    deformable conv v2) for the offline reference runs — torchvision is
+    not installed in this image.
+
+    Semantics follow torchvision's documented contract as the reference
+    uses it (centerpoint_dla.py:387-392): 3x3, stride 1, offsets
+    [N, 2*K, H, W] ordered (dy, dx) per kernel tap row-major, mask
+    [N, K, H, W], bilinear sampling with zero padding outside the
+    input.  Cross-validated against ops/deform_conv.deform_conv2d (the
+    jax gather formulation) in tests/test_torch_dcn_parity.py.
+    """
+    import torch
+
+    class DeformConv2d(torch.nn.Module):
+        def __init__(self, in_channels, out_channels, kernel_size=3,
+                     stride=1, padding=1, dilation=1, groups=1):
+            super().__init__()
+            assert stride == 1 and dilation == 1 and groups == 1
+            self.kernel_size = kernel_size
+            self.padding = padding
+            self.weight = torch.nn.Parameter(
+                torch.empty(out_channels, in_channels, kernel_size,
+                            kernel_size)
+            )
+            self.bias = torch.nn.Parameter(torch.zeros(out_channels))
+            torch.nn.init.kaiming_uniform_(self.weight, a=5 ** 0.5)
+
+        def forward(self, x, offset, mask):
+            n, c, h, w = x.shape
+            k = self.kernel_size
+            pad = self.padding
+            ys = torch.arange(h, device=x.device, dtype=x.dtype)
+            xs = torch.arange(w, device=x.device, dtype=x.dtype)
+            gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+
+            out = None
+            for ky in range(k):
+                for kx in range(k):
+                    t = ky * k + kx
+                    dy = offset[:, 2 * t]
+                    dx = offset[:, 2 * t + 1]
+                    m = mask[:, t]
+                    sy = gy[None] + (ky - pad) + dy
+                    sx = gx[None] + (kx - pad) + dx
+                    # bilinear sample with zeros outside [0, h) x [0, w)
+                    sampled = _bilinear_zeros(x, sy, sx)
+                    sampled = sampled * m[:, None]
+                    contrib = torch.einsum(
+                        "nchw,oc->nohw", sampled, self.weight[:, :, ky, kx]
+                    )
+                    out = contrib if out is None else out + contrib
+            return out + self.bias[None, :, None, None]
+
+    def _bilinear_zeros(x, sy, sx):
+        """x [N, C, H, W]; sy/sx [N, H, W] absolute sample coords."""
+        import torch.nn.functional as F
+
+        n, c, h, w = x.shape
+        # normalize to [-1, 1] (align_corners=True maps 0 -> -1,
+        # size-1 -> 1, matching integer-grid bilinear weights); mask
+        # out-of-range taps to zero like torchvision's border handling.
+        gx = 2 * sx / max(w - 1, 1) - 1
+        gy = 2 * sy / max(h - 1, 1) - 1
+        grid = torch.stack((gx, gy), dim=-1)
+        sampled = F.grid_sample(x, grid, mode="bilinear",
+                                padding_mode="zeros", align_corners=True)
+        return sampled
+
+    return DeformConv2d
+
+
 def _force_cpu():
     """Re-point jax at CPU even though this image's sitecustomize has
     already initialized the TPU backend (same trick as tests/conftest.py
@@ -106,10 +178,28 @@ def _make_data(n_train_batches, n_eval_batches, batch_size):
     return train, evalb
 
 
-def train_reference(train_batches, steps, lr, log_every):
+def train_reference(train_batches, steps, lr, log_every, deform=False):
+    """Train the reference torch CenterNet.
+
+    ``deform=False``: custom DLABackbone (dla.py:393-416) — the same
+    architecture the rebuild trains, for the stack-vs-stack comparison.
+
+    ``deform=True``: the reference's PRODUCTION model, CenterpointDLA34
+    (full DLA-34 + DeformConv IDA, centerpoint_dla.py:544-578), with
+    two offline adaptations: torchvision.ops.DeformConv2d replaced by
+    the faithful pure-torch drop-in (cross-validated in
+    tests/test_torch_dcn_parity.py) and the ImageNet model-zoo download
+    no-op'd (zero egress — random init, like the rebuild side).  Used
+    by --deform to measure whether the DCN-IDA architecture out-trains
+    the rebuild's plain-conv IDA on identical data (VERDICT r2 item 2b).
+    """
     import torch
 
     _install_reference_stubs()
+    if deform:
+        import torchvision
+
+        torchvision.ops.DeformConv2d = make_torch_deform_conv2d()
     from tauv_vision.centernet.model.backbones.dla import DLABackbone
     from tauv_vision.centernet.model.centernet import Centernet as RefCenternet
     from tauv_vision.centernet.model.config import (
@@ -147,10 +237,17 @@ def train_reference(train_batches, steps, lr, log_every):
         loss_lambda_depth=1.0, n_workers=0, weight_save_interval=1,
     )
 
-    model = RefCenternet(
-        DLABackbone(list(HEIGHTS), list(CHANNELS), DOWNSAMPLES),
-        object_config,
-    )
+    if deform:
+        import tauv_vision.centernet.model.backbones.centerpoint_dla as cpd
+
+        # No model-zoo download offline: random init, like the rebuild.
+        cpd.DLA.load_pretrained_model = lambda self, **kw: None
+        model = cpd.CenterpointDLA34(object_config)
+    else:
+        model = RefCenternet(
+            DLABackbone(list(HEIGHTS), list(CHANNELS), DOWNSAMPLES),
+            object_config,
+        )
     optimizer = torch.optim.Adam(model.parameters(), lr=lr)
 
     def to_truth(truth):
@@ -208,7 +305,10 @@ def eval_reference(model, model_config, eval_batches, n_detections):
     return detections
 
 
-def train_ours(train_batches, steps, lr, log_every):
+def train_ours(train_batches, steps, lr, log_every, deform_compare=False):
+    """Train the rebuild.  ``deform_compare=True`` trains the production
+    serving model (CenterpointDLA34, deform=False — the plain-conv IDA
+    substitution under test) instead of the custom DLA."""
     import jax
     import jax.numpy as jnp
 
@@ -250,10 +350,15 @@ def train_ours(train_batches, steps, lr, log_every):
         loss_lambda_depth=1.0, max_objects=train_batches[0][1].valid.shape[1],
         max_keypoints=4,
     )
-    model = Centernet(
-        object_config=object_config, backbone_heights=HEIGHTS,
-        backbone_channels=CHANNELS, downsamples=DOWNSAMPLES,
-    )
+    if deform_compare:
+        from tauv_vision_tpu.models.centerpoint_dla import CenterpointDLA34
+
+        model = CenterpointDLA34(object_config=object_config, deform=False)
+    else:
+        model = Centernet(
+            object_config=object_config, backbone_heights=HEIGHTS,
+            backbone_channels=CHANNELS, downsamples=DOWNSAMPLES,
+        )
     img0 = jnp.zeros((1, IN_H, IN_W, 3))
     variables = model.init(jax.random.key(0), img0, train=False)
     state = TrainState.create(
@@ -313,6 +418,13 @@ def main(argv=None):
     parser.add_argument("--log-every", type=int, default=25)
     parser.add_argument("--cpu", action="store_true",
                         help="run the jax side on CPU (leave the TPU free)")
+    parser.add_argument(
+        "--deform", action="store_true",
+        help="substitution evidence: reference trains its production "
+             "DCN-IDA CenterpointDLA34 (pure-torch DeformConv2d, random "
+             "init) vs the rebuild's plain-conv-IDA CenterpointDLA34 on "
+             "the same data",
+    )
     parser.add_argument("--out", default=None, help="JSON result path")
     args = parser.parse_args(argv)
     if args.cpu:
@@ -334,20 +446,26 @@ def main(argv=None):
 
     print("=== training reference (torch) ===", flush=True)
     ref_model, ref_cfg = train_reference(
-        train_batches, args.steps, args.lr, args.log_every
+        train_batches, args.steps, args.lr, args.log_every,
+        deform=args.deform,
     )
     ref_dets = eval_reference(ref_model, ref_cfg, eval_batches,
                               args.n_detections)
 
     print("=== training rebuild (jax) ===", flush=True)
     our_model, our_cfg, our_state = train_ours(
-        train_batches, args.steps, args.lr, args.log_every
+        train_batches, args.steps, args.lr, args.log_every,
+        deform_compare=args.deform,
     )
     our_dets = eval_ours(our_model, our_cfg, our_state, eval_batches,
                          args.n_detections)
 
     result = {"steps": args.steps, "batch_size": args.batch_size,
-              "lr": args.lr, "n_eval_samples": len(truths)}
+              "lr": args.lr, "n_eval_samples": len(truths),
+              "deform_comparison": args.deform}
+    if args.deform:
+        result["reference_model"] = "CenterpointDLA34 (DCN-IDA)"
+        result["rebuild_model"] = "CenterpointDLA34 (plain-conv IDA)"
     for iou in (0.3, 0.5):
         match = iou_match(iou)
         for name, dets in (("reference", ref_dets), ("rebuild", our_dets)):
