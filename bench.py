@@ -775,6 +775,229 @@ def run_train_io_bench(batch_size: int = 32, steps: int = 12):
     print(json.dumps(result))
 
 
+def run_train_bench(family: str, batch_size: int = 0, steps: int = 10):
+    """Train-step timing for each family at its production recipe
+    (VERDICT r2 item 8): one number per family so training-performance
+    claims cover all three.  Reference recipes: CenterNet batch 32 @
+    640x360 (samples_torpedo.py:19), YOLACT batch 24 @ 640x360
+    (yolact/scripts/train.py:57), YOLO-Pose batch 4 @ 960x480
+    (yolo_pose/scripts/train.py:60)."""
+    from math import pi as _pi
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+
+    if family == "centernet":
+        from tauv_vision_tpu.configs import (
+            AngleConfig,
+            CenternetModelConfig,
+            CenternetTrainConfig,
+            ObjectConfig,
+            ObjectConfigSet,
+        )
+        from tauv_vision_tpu.data.synthetic import (
+            SquareDatasetConfig,
+            generate_square_batch,
+        )
+        from tauv_vision_tpu.models.centerpoint_dla import CenterpointDLA34
+        from tauv_vision_tpu.train import (
+            TrainState,
+            adam_with_clip,
+            make_centernet_train_step,
+        )
+
+        batch_size = batch_size or 32
+        oc = ObjectConfigSet(configs=(
+            ObjectConfig(
+                id="square", yaw=AngleConfig(train=False, modulo=2 * _pi),
+                pitch=AngleConfig(train=False, modulo=2 * _pi),
+                roll=AngleConfig(train=False, modulo=2 * _pi),
+                train_depth=False, train_keypoints=False, keypoints=None,
+            ),
+        ))
+        mc = CenternetModelConfig(
+            in_h=360, in_w=640, backbone_heights=(2, 2, 2, 2, 2),
+            backbone_channels=(128,) * 6, downsamples=2,
+            angle_bin_overlap=_pi / 3,
+        )
+        tc = CenternetTrainConfig(
+            lr=1e-4, batch_size=batch_size, n_batches=0, n_epochs=1,
+            heatmap_focal_loss_a=2.0, heatmap_focal_loss_b=4.0,
+            heatmap_sigma_factor=0.1, keypoint_heatmap_sigma=2.0,
+            keypoint_affinity_sigma=2.0, loss_lambda_keypoint_heatmap=1.0,
+            loss_lambda_keypoint_affinity=1.0, loss_lambda_size=0.1,
+            loss_lambda_offset=1.0, loss_lambda_angle=1.0,
+            loss_lambda_depth=1.0, max_objects=4, max_keypoints=4,
+        )
+        model = CenterpointDLA34(object_config=oc, dtype=jnp.bfloat16,
+                                 deform=False)
+        img_np, truth = generate_square_batch(
+            rng, batch_size,
+            SquareDatasetConfig(in_h=360, in_w=640, max_objects=4,
+                                min_side=24, max_side=96, rotate=False),
+        )
+        img = jnp.asarray(img_np)
+        truth = jax.tree_util.tree_map(jnp.asarray, truth)
+        variables = jax.jit(
+            lambda k: model.init(k, img[:1], train=False)
+        )(jax.random.key(0))
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats"),
+            tx=adam_with_clip(tc.lr, 1.0),
+        )
+        step_fn = make_centernet_train_step(model, mc, tc, oc)
+    elif family == "yolact":
+        from tauv_vision_tpu.configs import (
+            YolactModelConfig,
+            YolactTrainConfig,
+        )
+        from tauv_vision_tpu.data.synthetic import (
+            SquareDatasetConfig,
+            generate_square_seg_batch,
+        )
+        from tauv_vision_tpu.models.yolact import Yolact
+        from tauv_vision_tpu.train import (
+            TrainState,
+            YolactTruth,
+            adam_with_clip,
+            make_yolact_train_step,
+        )
+
+        batch_size = batch_size or 24
+        mc = YolactModelConfig(
+            in_w=640, in_h=360, feature_depth=256, n_classes=7,
+            n_prototype_masks=8,
+            n_masknet_layers_pre_upsample=1,
+            n_masknet_layers_post_upsample=1,
+            n_prediction_head_layers=1, n_classification_layers=0,
+            n_box_layers=0, n_mask_layers=0, n_fpn_downsample_layers=2,
+            anchor_scales=(24, 48, 96, 192, 384),
+            anchor_aspect_ratios=(1.0,),
+            box_variances=(0.1, 0.2), iou_pos_threshold=0.4,
+            iou_neg_threshold=0.3, negative_example_ratio=3,
+        )
+        tc = YolactTrainConfig(
+            lr=1e-3, momentum=0.9, weight_decay=0.0, grad_max_norm=1.0,
+            n_epochs=1, batch_size=batch_size, epoch_n_batches=1,
+            max_objects=4,
+        )
+        model = Yolact(mc, dtype=jnp.bfloat16)
+        img_np, fields = generate_square_seg_batch(
+            rng, batch_size,
+            SquareDatasetConfig(in_h=360, in_w=640, max_objects=4,
+                                min_side=24, max_side=96, rotate=False),
+        )
+        img = jnp.asarray(img_np)
+        truth = YolactTruth(
+            valid=jnp.asarray(fields["valid"]),
+            classification=jnp.asarray(fields["classification"]),
+            box=jnp.asarray(fields["box"]),
+            seg_map=jnp.asarray(fields["seg"].astype(np.int32)),
+            img_valid=jnp.asarray(fields["img_valid"]),
+        )
+        variables = jax.jit(
+            lambda k: model.init(k, img[:1], train=False)
+        )(jax.random.key(0))
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats"),
+            tx=adam_with_clip(tc.lr, 1.0),
+        )
+        step_fn = make_yolact_train_step(model, mc, tc)
+    else:  # yolo_pose
+        from tauv_vision_tpu.train.yolo_pose_task import (
+            YoloPoseTruth,
+            yolo_pose_loss,
+        )
+        from tauv_vision_tpu.train import TrainState, adam_with_clip
+
+        batch_size = batch_size or 4
+        _, raw, variables, extras = build_yolo_pose(with_pnp=False)
+        mc = extras["model_config"]
+        from tauv_vision_tpu.models.yolo_pose import YoloPose
+
+        model = YoloPose(mc, dtype=jnp.bfloat16)
+        img = jnp.asarray(
+            rng.uniform(0, 1, (batch_size, mc.in_h, mc.in_w, 3))
+            .astype(np.float32)
+        )
+        m = 2
+        th, tw = mc.in_h // 16, mc.in_w // 16  # pointnet target res
+        truth = YoloPoseTruth(
+            valid=jnp.ones((batch_size, m), bool),
+            classification=jnp.ones((batch_size, m), jnp.int32),
+            box=jnp.tile(
+                jnp.asarray([[0.4, 0.4, 0.2, 0.2], [0.7, 0.7, 0.2, 0.2]])
+                [None], (batch_size, 1, 1),
+            ),
+            seg_map=jnp.full((batch_size, mc.in_h, mc.in_w), 255,
+                             jnp.int32).at[:, 100:200, 300:500].set(0),
+            keypoints=jnp.asarray(
+                rng.uniform(0, min(th, tw),
+                            (batch_size, m, mc.belief_depth, 2))
+                .astype(np.float32)
+            ),
+            keypoint_valid=jnp.ones(
+                (batch_size, m, mc.belief_depth), bool
+            ),
+            centers=jnp.asarray(
+                rng.uniform(0, min(th, tw), (batch_size, m, 2))
+                .astype(np.float32)
+            ),
+        )
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats"),
+            tx=adam_with_clip(1e-4, 1.0),
+        )
+
+        @jax.jit
+        def step_fn(state, img, truth):
+            def loss_fn(params, stats):
+                vs = {"params": params}
+                if stats is not None:
+                    vs["batch_stats"] = stats
+                pred, mutated = model.apply(
+                    vs, img, train=True, mutable=["batch_stats"]
+                )
+                losses = yolo_pose_loss(pred, truth, mc)
+                return losses.total, (losses, mutated.get("batch_stats"))
+
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (losses, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats
+            )
+            state = state.apply_gradients(grads=grads)
+            if new_stats is not None:
+                state = state.replace(batch_stats=new_stats)
+            return state, losses
+
+    # warm (compile) then time `steps` steps, forcing completion via the
+    # scalar fetch (small; the ~27 ms relay fetch amortizes over steps).
+    state, losses = step_fn(state, img, truth)
+    float(losses.total)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, losses = step_fn(state, img, truth)
+    float(losses.total)
+    per_step = (time.perf_counter() - t0) / steps
+
+    result = {
+        "metric": f"{family} train step",
+        "value": round(per_step * 1e3, 1),
+        "unit": "ms/step",
+        "detail": {
+            "batch_size": batch_size,
+            "img_per_sec": round(batch_size / per_step, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
 def run_aux_bench(family: str, batch_size: int):
     """Bench the keypoint+PnP or YOLO-Pose serving path, bf16 and int8
     (VERDICT r1 item 9).  Prints one JSON line and exits."""
@@ -872,6 +1095,12 @@ def main():
     if "--train-io" in sys.argv:
         run_train_io_bench(
             next((int(a) for a in sys.argv[1:] if a.isdigit()), 32)
+        )
+        return
+    if "--train-step" in sys.argv:
+        family = sys.argv[sys.argv.index("--train-step") + 1]
+        run_train_bench(
+            family, next((int(a) for a in sys.argv[1:] if a.isdigit()), 0)
         )
         return
     # Default: the deployable configuration (plain-conv IDA, the custom

@@ -49,6 +49,26 @@ SWEEP_LADDER = (
     ("pc+bc+bf16tail+lvl5",
      dict(per_channel=True, bias_correct=True,
           strip=("head_", "ida_up", "dla_up", "level5"))),
+    # Round-3 second ladder: the first ladder showed the score-delta
+    # floor (~5.5e-3) comes from the EARLY trunk, not the tail, and
+    # that bias correction hurts at this calibration size.  The early
+    # 16/32-ch levels run at ~34% of the int8 MXU roof anyway
+    # (BENCH.md "Roofline context"), so moving them to bf16 costs
+    # little throughput while removing the dominant error source.
+    ("pc+bf16heads",
+     dict(per_channel=True, bias_correct=False, strip=("head_",))),
+    ("pc+bf16heads+early01",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_"))),
+    ("pc+bf16heads+early012",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_", "level2"))),
+    ("pc+bf16heads+early0123",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_", "level2", "level3"))),
+    ("pc+bf16heads+early01+updown",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_", "ida_up", "dla_up"))),
 )
 
 
@@ -74,12 +94,17 @@ def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
                               percentile=args.percentile)
     scales_pc = calibrate(raw_pipeline, cal_frames,
                           percentile=args.percentile, per_channel=True)
-    print("computing bias corrections...", flush=True)
-    corr_full = calibrate_bias_correction(raw_pipeline, cal_frames,
-                                          scales_pc)
-
+    ladder = [
+        (name, cfg) for name, cfg in SWEEP_LADDER
+        if args.rungs is None or name in args.rungs
+    ]
+    corr_full = {}
+    if any(cfg["bias_correct"] for _, cfg in ladder):
+        print("computing bias corrections...", flush=True)
+        corr_full = calibrate_bias_correction(raw_pipeline, cal_frames,
+                                              scales_pc)
     rows = []
-    for name, cfg in SWEEP_LADDER:
+    for name, cfg in ladder:
         base = scales_pc if cfg["per_channel"] else scales_absmax
         scales = strip_scales(base, cfg["strip"]) if cfg["strip"] else base
         corr = (
@@ -143,6 +168,8 @@ def main(argv=None):
                         help="walk the mixed-precision ladder (absmax -> "
                              "per-channel -> +bias-correct -> +bf16 tail "
                              "stages) and report decoded deltas per rung")
+    parser.add_argument("--rungs", nargs="*", default=None,
+                        help="subset of SWEEP_LADDER rung names to run")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 
