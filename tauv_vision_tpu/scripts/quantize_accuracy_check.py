@@ -69,6 +69,17 @@ SWEEP_LADDER = (
     ("pc+bf16heads+early01+updown",
      dict(per_channel=True, bias_correct=False,
           strip=("head_", "level0_", "level1_", "ida_up", "dla_up"))),
+    # Third ladder: MSE-optimal per-channel clipping
+    # (serving/quantize.refine_scales_mse) on top of the best rung.
+    ("mse+bf16heads+early01",
+     dict(per_channel=True, bias_correct=False, mse=True,
+          strip=("head_", "level0_", "level1_"))),
+    ("mse+bf16heads+early01+updown",
+     dict(per_channel=True, bias_correct=False, mse=True,
+          strip=("head_", "level0_", "level1_", "ida_up", "dla_up"))),
+    ("mse+bc+bf16heads+early01+updown",
+     dict(per_channel=True, bias_correct=True, mse=True,
+          strip=("head_", "level0_", "level1_", "ida_up", "dla_up"))),
 )
 
 
@@ -86,6 +97,7 @@ def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
     from tauv_vision_tpu.serving.quantize import (
         calibrate,
         calibrate_bias_correction,
+        refine_scales_mse,
         strip_scales,
     )
 
@@ -98,19 +110,24 @@ def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
         (name, cfg) for name, cfg in SWEEP_LADDER
         if args.rungs is None or name in args.rungs
     ]
-    corr_full = {}
-    if any(cfg["bias_correct"] for _, cfg in ladder):
-        print("computing bias corrections...", flush=True)
-        corr_full = calibrate_bias_correction(raw_pipeline, cal_frames,
-                                              scales_pc)
+    scales_mse = None
+    if any(cfg.get("mse") for _, cfg in ladder):
+        print("refining scales (MSE-optimal clipping)...", flush=True)
+        scales_mse = refine_scales_mse(raw_pipeline, cal_frames, scales_pc)
+
     rows = []
     for name, cfg in ladder:
         base = scales_pc if cfg["per_channel"] else scales_absmax
+        if cfg.get("mse"):
+            base = scales_mse
         scales = strip_scales(base, cfg["strip"]) if cfg["strip"] else base
-        corr = (
-            {k: v for k, v in corr_full.items() if k in scales}
-            if cfg["bias_correct"] else None
-        )
+        corr = None
+        if cfg["bias_correct"]:
+            # computed against THIS rung's scales (corrections depend on
+            # the quantization scheme they compensate)
+            print(f"  bias corrections for {name}...", flush=True)
+            corr = calibrate_bias_correction(raw_pipeline, cal_frames,
+                                             scales)
         print(f"rung {name}: {len(scales)} int8 convs...", flush=True)
         dets = collect(make_chain_fn(scales, corr))
         stats = pair_deltas(dets_bf16, dets)

@@ -217,3 +217,37 @@ def test_dla34_chain_per_channel_tightens_decode():
     ).mean()
 
     assert err_tight < err_base, (err_tight, err_base)
+
+
+def test_mse_refinement_picks_argmin_factor():
+    """refine_scales_mse must return, per channel, the candidate scale
+    minimizing the summed squared quantization error over the
+    calibration data (verified against a manual grid evaluation).
+    Whether that factor is < 1 depends on the tail-vs-resolution
+    tradeoff at the data's sample count — the mechanism, not the
+    statistics, is what's pinned here."""
+    from tauv_vision_tpu.serving.quantize import refine_scales_mse
+
+    _, variables, apply_fn, _ = _setup()
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(
+        rng.standard_t(df=4, size=(4, 16, 16, 16)).astype(np.float32)
+    )
+
+    base = calibrate(apply_fn, [x], per_channel=True)
+    factors = (0.6, 0.8, 1.0)
+    refined = refine_scales_mse(apply_fn, [x], base, factors=factors)
+    assert set(refined) == set(base)
+    assert refined["c1"].shape == base["c1"].shape
+
+    # Manual argmin for c1 (its calibration input is x itself).
+    flat = np.asarray(x, np.float64).reshape(-1, 16)
+    s = np.asarray(base["c1"], np.float64)
+    errs = []
+    for f in factors:
+        sf = s * f
+        q = np.clip(np.round(flat / sf), -127, 127) * sf
+        errs.append(np.square(flat - q).sum(axis=0))
+    expected = s * np.asarray(factors)[np.argmin(np.stack(errs), axis=0)]
+    np.testing.assert_allclose(np.asarray(refined["c1"]), expected,
+                               rtol=1e-6)
