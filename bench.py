@@ -268,6 +268,35 @@ def load_scales(raw_pipeline, variables, frames, cache_key,
     return scales
 
 
+def load_scales_mse(raw_pipeline, variables, frames, cache_key, scales):
+    """MSE-optimal per-channel clip refinement (serving/quantize.py
+    refine_scales_mse), cached like the base scales — the grid search
+    re-runs the eager calibration pass per candidate factor, so it is
+    minutes over this image's relay and deterministic for fixed seed +
+    frames."""
+    import json
+    import pathlib
+
+    from tauv_vision_tpu.serving.quantize import refine_scales_mse
+
+    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    mse_path = cache_dir / f"mse_{cache_key}.json"
+    if mse_path.exists():
+        loaded = json.loads(mse_path.read_text())
+        return {
+            k: np.asarray(v) if isinstance(v, list) else v
+            for k, v in loaded.items()
+        }
+    refined = refine_scales_mse(
+        lambda b: raw_pipeline(variables, b), [frames[:2]], scales
+    )
+    mse_path.write_text(json.dumps({
+        k: (v.tolist() if hasattr(v, "tolist") else v)
+        for k, v in refined.items()
+    }))
+    return refined
+
+
 def load_corrections(raw_pipeline, variables, frames, cache_key, scales):
     """Bias corrections for the parity-int8 profile, cached like the
     scales (deterministic for fixed seed + frames)."""
@@ -1153,11 +1182,22 @@ def main():
     # the tail's bf16 convs.  Decoded-delta evidence:
     # scripts/quantize_accuracy_check.py --sweep (BENCH.md table).
     parity = "--parity-int8" in sys.argv
-    bf16_tail = ("head_",)
+    # Default tail = the winning sweep rung (quantize_accuracy_check
+    # --sweep): heads + the MXU-starved 16/32-ch early trunk levels +
+    # the IDA/DLA aggregation convs stay bf16; the bulk-FLOP mid/late
+    # trunk levels and all of YOLACT's backbone/FPN/protonet stay int8.
+    bf16_tail = ("head_", "level0_", "level1_", "ida_up", "dla_up")
     if "--bf16-tail" in sys.argv:
         bf16_tail = tuple(
             sys.argv[sys.argv.index("--bf16-tail") + 1].split(",")
         )
+    # Bias correction is opt-in for the parity profile: the sweep
+    # measured it HURTING decoded agreement at serving calibration
+    # sizes (the correction itself is estimated from few batches).
+    bias_correct = "--bias-correct" in sys.argv
+    # --mse: MSE-optimal per-channel clip refinement on top of the
+    # per-channel scales (the final precision lever from the sweep).
+    mse = "--mse" in sys.argv
     chain = int8 and not deform and "--per-layer-int8" not in sys.argv
     if chain:
         from tauv_vision_tpu.serving.quantize import strip_scales
@@ -1180,19 +1220,32 @@ def main():
             # YOLACT's decode consumers are the prediction-head output
             # convs + the protonet output (mask prototypes).
             yl_tail = tuple(
-                t for t in bf16_tail if not t.startswith(("head_",))
+                t for t in bf16_tail
+                if not t.startswith(("head_", "level", "ida_up", "dla_up"))
             ) + ("prediction_head/classification", "prediction_head/box",
                  "prediction_head/mask", "protonet/output")
             yl_scales = strip_scales(yl_scales, yl_tail)
-            cn_corr = load_corrections(
-                cn_raw, cn_vars, frames,
-                f"centernet_b{batch_size}_{'-'.join(bf16_tail)}",
-                cn_scales,
-            )
-            yl_corr = load_corrections(
-                yl_raw, yl_vars, frames,
-                f"yolact_b{batch_size}_{'-'.join(bf16_tail)}", yl_scales,
-            )
+            if mse:
+                cn_scales = load_scales_mse(
+                    cn_raw, cn_vars, frames,
+                    f"centernet_b{batch_size}_{'-'.join(bf16_tail)}",
+                    cn_scales,
+                )
+                yl_scales = load_scales_mse(
+                    yl_raw, yl_vars, frames,
+                    f"yolact_b{batch_size}_parity", yl_scales,
+                )
+            if bias_correct:
+                cn_corr = load_corrections(
+                    cn_raw, cn_vars, frames,
+                    f"centernet_b{batch_size}_{'-'.join(bf16_tail)}",
+                    cn_scales,
+                )
+                yl_corr = load_corrections(
+                    yl_raw, yl_vars, frames,
+                    f"yolact_b{batch_size}_{'-'.join(bf16_tail)}",
+                    yl_scales,
+                )
         cn_q = make_centernet_chain_pipeline(
             cn_cfg, cn_model.object_config, cn_vars, cn_scales,
             n_detections=10, score_threshold=0.6, corrections=cn_corr,
@@ -1245,6 +1298,8 @@ def main():
                 if chain else "per-layer"
             ) if int8 else None,
             "bf16_tail": list(bf16_tail) if (chain and parity) else None,
+            "mse_clip": mse if (chain and parity) else None,
+            "bias_correct": bias_correct if (chain and parity) else None,
             "centernet_fps": round(batch_size / cn_time, 2),
             "yolact_fps": round(batch_size / yl_time, 2),
             "decode_p50_ms": round(decode_p50 * 1e3, 3),

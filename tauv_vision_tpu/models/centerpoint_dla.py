@@ -19,7 +19,7 @@ dataflow functionally.  NHWC throughout.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -239,7 +239,8 @@ class DeformConvBlock(nn.Module):
     out_channels: int
     deform: bool = True
     dcn_impl: str = "shift"
-    dcn_max_offset: int = 3
+    dcn_max_offset: float = 3
+    offset_bound: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -254,6 +255,19 @@ class DeformConvBlock(nn.Module):
             18, (3, 3), padding=1, dtype=self.dtype, name="offset",
             kernel_init=nn.initializers.zeros,
         )(x)
+        if self.offset_bound is not None:
+            # Bounded-offset DCNv2: squash the raw offsets through
+            # bound*tanh(raw/bound) so |offset| < bound holds BY
+            # CONSTRUCTION (identity slope at 0, so training dynamics
+            # near the zero init match the unbounded reference).  With
+            # dcn_max_offset >= offset_bound the shift-window kernels
+            # are then exact, full stop — no train-time regularization
+            # or serving-time clamping asterisk.  The TPU-first revision
+            # of the reference's unbounded torchvision DCN
+            # (centerpoint_dla.py:360-392); accuracy evidence:
+            # scripts/compare_reference_accuracy.py --deform.
+            bound = jnp.asarray(self.offset_bound, offset.dtype)
+            offset = bound * jnp.tanh(offset / bound)
         mask = nn.Conv(
             9, (3, 3), padding=1, dtype=self.dtype, name="mask",
             kernel_init=nn.initializers.zeros,
@@ -369,7 +383,8 @@ class IDAUpStage(nn.Module):
     up_factors: Sequence[int]  # per input index >= 1
     deform: bool = True
     dcn_impl: str = "shift"
-    dcn_max_offset: int = 3
+    dcn_max_offset: float = 3
+    offset_bound: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -379,7 +394,8 @@ class IDAUpStage(nn.Module):
             projected = DeformConvBlock(
                 self.out_channels, deform=self.deform,
                 dcn_impl=self.dcn_impl,
-                dcn_max_offset=self.dcn_max_offset, dtype=self.dtype,
+                dcn_max_offset=self.dcn_max_offset,
+                offset_bound=self.offset_bound, dtype=self.dtype,
                 name=f"proj_{i}",
             )(layers[i], train=train)
             upsampled = DepthwiseUpsample(
@@ -389,7 +405,8 @@ class IDAUpStage(nn.Module):
             layers[i] = DeformConvBlock(
                 self.out_channels, deform=self.deform,
                 dcn_impl=self.dcn_impl,
-                dcn_max_offset=self.dcn_max_offset, dtype=self.dtype,
+                dcn_max_offset=self.dcn_max_offset,
+                offset_bound=self.offset_bound, dtype=self.dtype,
                 name=f"node_{i}",
             )(upsampled + layers[i - 1], train=train)
         return layers
@@ -402,7 +419,8 @@ class DLAUp(nn.Module):
     channels: Sequence[int]  # channels of the consumed levels
     deform: bool = True
     dcn_impl: str = "shift"
-    dcn_max_offset: int = 3
+    dcn_max_offset: float = 3
+    offset_bound: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -422,6 +440,7 @@ class DLAUp(nn.Module):
                 deform=self.deform,
                 dcn_impl=self.dcn_impl,
                 dcn_max_offset=self.dcn_max_offset,
+                offset_bound=self.offset_bound,
                 dtype=self.dtype,
                 name=f"ida_{i}",
             )
@@ -443,7 +462,8 @@ class DLASeg(nn.Module):
     heatmap_head_indices: Tuple[int, ...] = (0,)
     deform: bool = True
     dcn_impl: str = "shift"
-    dcn_max_offset: int = 3
+    dcn_max_offset: float = 3
+    offset_bound: Optional[float] = None
     stem_s2d: int = 0
     dtype: jnp.dtype = jnp.float32
 
@@ -459,6 +479,7 @@ class DLASeg(nn.Module):
         dla_up_out = DLAUp(
             channels, deform=self.deform, dcn_impl=self.dcn_impl,
             dcn_max_offset=self.dcn_max_offset,
+                offset_bound=self.offset_bound,
             dtype=self.dtype, name="dla_up",
         )(levels[first_level:], train=train)
 
@@ -467,6 +488,7 @@ class DLASeg(nn.Module):
         y = IDAUpStage(
             channels[0], up_factors, deform=self.deform,
             dcn_impl=self.dcn_impl, dcn_max_offset=self.dcn_max_offset,
+                offset_bound=self.offset_bound,
             dtype=self.dtype,
             name="ida_up",
         )(y, train=train)
@@ -498,7 +520,8 @@ class CenterpointDLA34(nn.Module):
     head_conv: int = 256
     deform: bool = True
     dcn_impl: str = "shift"
-    dcn_max_offset: int = 3
+    dcn_max_offset: float = 3
+    offset_bound: Optional[float] = None
     stem_s2d: int = 0
 
     @nn.compact
@@ -518,6 +541,7 @@ class CenterpointDLA34(nn.Module):
                 deform=self.deform,
                 dcn_impl=self.dcn_impl,
                 dcn_max_offset=self.dcn_max_offset,
+                offset_bound=self.offset_bound,
                 stem_s2d=self.stem_s2d,
                 dtype=self.dtype,
                 name="model",

@@ -150,7 +150,7 @@ def deform_conv2d_shift(
     weight: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     padding: int = 1,
-    max_offset: int = 3,
+    max_offset: float = 3,
 ) -> jnp.ndarray:
     """TPU-fast modulated deformable conv via static shift windows.
 
@@ -175,9 +175,15 @@ def deform_conv2d_shift(
 
     Args/returns match :func:`deform_conv2d` (stride/dilation fixed to 1).
     """
+    import math
+
     b, h, w, c = x.shape
     kh, kw, _, out_c = weight.shape
-    r = max_offset
+    # Shift window per tap: [-ceil(r), floor(r) + 1] relative to the tap
+    # base covers the bilinear neighbors of every |offset| <= r (may be
+    # fractional: r=0.5 needs only 3 shifts per axis).
+    lo = -math.ceil(max_offset)
+    hi = math.floor(max_offset) + 1
 
     out = jnp.zeros((b, h, w, out_c), dtype=jnp.float32)
     for tap in range(kh * kw):
@@ -188,13 +194,13 @@ def deform_conv2d_shift(
         dx = offset[..., 2 * tap + 1] + base_x
 
         sampled = jnp.zeros_like(x, dtype=x.dtype)
-        for sy in range(base_y - r, base_y + r + 2):
+        for sy in range(base_y + lo, base_y + hi + 1):
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - sy))
             # Skip rows whose hat weight is identically zero only when
             # traced shapes make it knowable; weights handle the rest.
             row_acc = jnp.zeros_like(x, dtype=x.dtype)
             any_x = False
-            for sx in range(base_x - r, base_x + r + 2):
+            for sx in range(base_x + lo, base_x + hi + 1):
                 wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx - sx))
                 shifted = _shift2d(x, sy, sx)
                 row_acc = row_acc + shifted * wx[..., None].astype(x.dtype)

@@ -17,14 +17,33 @@ major dimension (free) and column shifts rotate only ~3-4 sublane tiles.
 The first version blocked over rows with the full W in sublanes; its x
 shifts rotated ~22 tiles per read and ran 10x below the VPU bound.
 
-Per grid step (one column block of one batch element):
+Three VPU-economy levers on top of that layout (round 3):
+
+- **Fractional radius.**  ``max_offset`` may be non-integer: the shift
+  window per tap is ``[-ceil(r), floor(r) + 1]``, so r=0.5 (offsets
+  bounded to half a pixel, e.g. by ``DeformConvBlock.offset_bound``)
+  needs a 3x3 shift window — 9/16ths of the r=1 hat FMAs.
+- **Lane-resident hat weights.**  The per-pixel offsets are broadcast
+  over the channel (lane) dim ONCE per tap into DY/DX arrays; every
+  hat weight is then 3 elementwise VPU ops (sub/abs/max) on those
+  arrays — the per-(tap, shift) sublane->lane broadcast relayouts of
+  the previous version are gone.  The modulation mask multiplies the
+  assembled sample once per tap.
+- **Batch-pair lane packing.**  The production DCN layers are
+  64-channel at 90x160 (~70% of the sampling work) and fill only half
+  of the 128-wide VPU lanes.  For c == 64 the wrapper packs batch
+  pairs (b, b + B/2) into the lane dim (pure slice + concat, no
+  transpose), runs the kernel at 128 real lanes with a block-diagonal
+  [2C, 2O] weight, and splits the halves back — 2x effective VPU
+  utilization for those layers.
+
+Per grid step (one column block of one batch pack):
   1. DMA the block + halo columns/rows of the pre-padded input into
      VMEM; convert to f32 once;
-  2. for each of the 9 taps: build the hat weights from the offset
-     channels, accumulate the (2r+2)^2 statically-shifted FMAs into a
-     sampled-map scratch ref (in-place: a pure value chain keeps every
-     shifted window live and blows the scoped-VMEM cap), apply the
-     modulation mask;
+  2. for each of the 9 taps: build DY/DX/mask lane arrays, accumulate
+     the statically-shifted hat FMAs into a sampled-map scratch ref
+     (in-place: a pure value chain keeps every shifted window live and
+     blows the scoped-VMEM cap), apply the modulation mask;
   3. contract sampled [H*wb, C] x weight[tap] [C, O] on the MXU into a
      float32 accumulator;
   4. + bias, cast, write the output block.
@@ -33,11 +52,14 @@ Semantics match torchvision.ops.deform_conv2d (stride 1, dilation 1,
 3x3, the DLA-34 configuration, centerpoint_dla.py:360-392) whenever
 every |offset| <= max_offset; larger offsets contribute zero (same
 deviation as deform_conv2d_shift, tested against the gather reference).
+With ``DeformConvBlock.offset_bound == max_offset`` the bound holds by
+construction and the kernel is exact, full stop.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -47,15 +69,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _window(max_offset: float):
+    """Per-tap shift window [lo, hi] (inclusive) covering the bilinear
+    neighbors of every sample position within |offset| <= max_offset."""
+    lo = -math.ceil(max_offset)
+    hi = math.floor(max_offset) + 1
+    return lo, hi
+
+
 def _dcn_kernel(
     x_hbm,          # [B, H + 2*halo, W_pad, C] padded input (ANY/HBM)
-    offset_ref,     # [1, H, wb, 2*KK] VMEM
-    mask_ref,       # [1, H, wb, KK] VMEM
+    offset_ref,     # [1, H, wb, n_pack * 2*KK] VMEM
+    mask_ref,       # [1, H, wb, n_pack * KK] VMEM
     weight_ref,     # [KK, C, O] VMEM
     bias_ref,       # [1, O] VMEM
     out_ref,        # [1, H, wb, O] VMEM
     x_vmem,         # scratch [H + 2*halo, wb_halo, C]
-    xrot_ref,       # scratch [S_x, H + 2*halo, wb, C] f32 pre-rotated
+    xrot_ref,       # scratch [n_sx, H + 2*halo, wb, C] f32 pre-rotated
     sampled_ref,    # scratch [H, wb, C] f32 per-tap bilinear sample
     acc_ref,        # scratch [H * wb, O] f32
     dma_sem,
@@ -63,11 +93,14 @@ def _dcn_kernel(
     wb: int,
     halo: int,
     kk: int,
-    r: int,
+    lo: int,
+    hi: int,
+    n_pack: int,
+    c_real: int,
     use_mask: bool,
 ):
     h = out_ref.shape[1]
-    c = x_vmem.shape[-1]
+    cp = x_vmem.shape[-1]
 
     batch = pl.program_id(0)
     block = pl.program_id(1)
@@ -84,23 +117,24 @@ def _dcn_kernel(
     )
     copy.start()
 
-    offset = offset_ref[0]            # [H, wb, 2*KK] f32
+    offset = offset_ref[0]            # [H, wb, n_pack * 2*KK] f32
     if use_mask:
-        mask = mask_ref[0]            # [H, wb, KK]
+        mask = mask_ref[0]            # [H, wb, n_pack * KK]
 
     copy.wait()
 
     k = int(np.sqrt(kk))
     pad = k // 2
+    n_w = hi - lo + 1
+    sx_lo = -pad + lo
+    n_sx = 2 * pad + n_w
 
     # Pre-rotate once per program: copy the block at every column shift
-    # the taps will read (sx in [-pad - r, pad + r + 1]), converting to
-    # f32 in the same pass.  Column shifts rotate the sublane dim — the
-    # expensive move on TPU — so doing each distinct rotation once, here,
-    # leaves the hot loop below with only free major-dim row slices.
-    # (Per-shift rotations in the loop ran 5-10x below the VPU bound.)
-    sx_lo = -pad - r
-    n_sx = 2 * (pad + r) + 2
+    # the taps will read, converting to f32 in the same pass.  Column
+    # shifts rotate the sublane dim — the expensive move on TPU — so
+    # doing each distinct rotation once, here, leaves the hot loop below
+    # with only free major-dim row slices.  (Per-shift rotations in the
+    # loop ran 5-10x below the VPU bound.)
     for j in range(n_sx):
         sx = sx_lo + j
         xrot_ref[j] = x_vmem[:, halo + sx:halo + sx + wb, :].astype(
@@ -109,56 +143,70 @@ def _dcn_kernel(
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    if n_pack > 1:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (h, wb, cp), 2)
+
+    def lane_plane(channels):
+        """Broadcast per-pack [H, wb] offset/mask planes over the
+        channel lanes each pack occupies: ONE relayout per tap instead
+        of one per (tap, shift)."""
+        planes = [
+            jnp.broadcast_to(
+                offset[:, :, ch][:, :, None]
+                if not use_mask_plane else mask[:, :, ch][:, :, None],
+                (h, wb, cp),
+            ).astype(jnp.float32)
+            for ch in channels
+        ]
+        out = planes[0]
+        for p in range(1, n_pack):
+            out = jnp.where(lane < p * c_real, out, planes[p])
+        return out
+
     for tap in range(kk):
         ky, kx = tap // k, tap % k
         base_y = ky - pad
         base_x = kx - pad
-        # Sample position relative to the output pixel: tap base + offset.
-        dy = offset[:, :, 2 * tap] + base_y       # [H, wb]
-        dx = offset[:, :, 2 * tap + 1] + base_x
 
-        # hat weights for this tap's 2r+2 column shifts (shared by every
-        # row shift), materialized broadcast over the lane (channel) dim
-        # once per tap: the [H, wb] weight planes live with wb in lanes,
-        # so a per-FMA implicit broadcast would relayout every time.
+        # Per-pack offset planes, lane-resident (see lane_plane).
+        use_mask_plane = False
+        dy = lane_plane([p * 2 * kk + 2 * tap for p in range(n_pack)])
+        dx = lane_plane([p * 2 * kk + 2 * tap + 1 for p in range(n_pack)])
+
+        # Column hat weights for this tap's n_w shifts: pure elementwise
+        # VPU ops on the lane-resident DX array.
         wxs = [
-            jnp.broadcast_to(
-                jnp.maximum(
-                    0.0, 1.0 - jnp.abs(dx - (base_x - r + jj))
-                )[:, :, None],
-                (h, wb, c),
-            )
-            for jj in range(2 * r + 2)
+            jnp.maximum(0.0, 1.0 - jnp.abs(dx - (lo + jj)))
+            for jj in range(n_w)
         ]
 
-        sampled_ref[:] = jnp.zeros((h, wb, c), jnp.float32)
+        sampled_ref[:] = jnp.zeros((h, wb, cp), jnp.float32)
 
         # fori_loop over the row shifts (dynamic starts on the untiled
         # major dim are cheap); the column shifts stay unrolled but read
         # the pre-rotated copies — no data movement inside the loop.
         def row_shift(i, _):
-            sy = base_y - r + i                            # traced scalar
-            wy = jnp.broadcast_to(
-                jnp.maximum(0.0, 1.0 - jnp.abs(dy - sy))[:, :, None],
-                (h, wb, c),
-            )
-            row = pl.ds(halo + sy, h)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - (lo + i)))
+            row = pl.ds(halo + base_y + lo + i, h)
             tmp = None
-            for jj in range(2 * r + 2):
-                j = (base_x - r) - sx_lo + jj
+            for jj in range(n_w):
+                j = (base_x + lo - sx_lo) + jj
                 term = wxs[jj] * xrot_ref[j, row, :, :]
                 tmp = term if tmp is None else tmp + term
             sampled_ref[:] += wy * tmp
             return 0
 
-        jax.lax.fori_loop(0, 2 * r + 2, row_shift, 0)
+        jax.lax.fori_loop(0, n_w, row_shift, 0)
 
         sampled = sampled_ref[:]
         if use_mask:
-            sampled = sampled * mask[:, :, tap][:, :, None]
+            use_mask_plane = True
+            sampled = sampled * lane_plane(
+                [p * kk + tap for p in range(n_pack)]
+            )
 
         acc_ref[:] += jax.lax.dot_general(
-            sampled.reshape(h * wb, c).astype(weight_ref.dtype),
+            sampled.reshape(h * wb, cp).astype(weight_ref.dtype),
             weight_ref[tap],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -179,7 +227,7 @@ def deform_conv2d_pallas(
     weight: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     padding: int = 1,
-    max_offset: int = 3,
+    max_offset: float = 3,
     cols_per_block: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -188,15 +236,38 @@ def deform_conv2d_pallas(
     Args:
       x: [B, H, W, C]; offset: [B, H, W, 2*K*K] (y, x) pairs, taps
       row-major; mask: optional [B, H, W, K*K] (sigmoided); weight:
-      [Kh, Kw, C, O]; bias: [O].
+      [Kh, Kw, C, O]; bias: [O]; max_offset: exactness radius (may be
+      fractional — the shift window is [-ceil(r), floor(r) + 1]).
     Returns [B, H, W, O] in x.dtype.
     """
     b, h, w, c = x.shape
     kh, kw, _, out_c = weight.shape
     assert kh == kw and padding == kh // 2, "stem configuration only"
     kk = kh * kw
-    r = max_offset
-    halo = padding + r + 1
+    lo, hi = _window(max_offset)
+    halo = padding + hi
+
+    # Batch-pair lane packing: the dominant production DCN layers are
+    # 64-in/64-out and fill only half the 128 VPU lanes.  Pack batch
+    # elements (i, i + B/2) into the lane dim — slice + concat on both
+    # ends (no transpose) — and run the kernel once per pair with a
+    # block-diagonal weight.
+    n_pack = 2 if (c == 64 and out_c <= 64 and b % 2 == 0 and b > 1) else 1
+    if n_pack == 2:
+        b2 = b // 2
+        x = jnp.concatenate([x[:b2], x[b2:]], axis=-1)
+        offset = jnp.concatenate([offset[:b2], offset[b2:]], axis=-1)
+        if mask is not None:
+            mask = jnp.concatenate([mask[:b2], mask[b2:]], axis=-1)
+        weight2 = jnp.zeros((kh, kw, 2 * c, 2 * out_c), weight.dtype)
+        weight2 = weight2.at[:, :, :c, :out_c].set(weight)
+        weight2 = weight2.at[:, :, c:, out_c:].set(weight)
+        weight = weight2
+        if bias is not None:
+            bias = jnp.concatenate([bias, bias])
+    c_real = c
+    bk, hk, wk, ck = x.shape
+    ok = out_c * n_pack
 
     wb = min(cols_per_block, w)
     n_blocks = -(-w // wb)
@@ -209,7 +280,7 @@ def deform_conv2d_pallas(
     # bytes.
     wb_halo = wb + 2 * halo
     wb_halo += (-wb_halo) % 8
-    c_pad = -(-c // 128) * 128
+    c_pad = -(-ck // 128) * 128
 
     # Pad: halo on all sides, plus right fill so column blocks tile
     # evenly and the last block's DMA slice stays in bounds.
@@ -217,7 +288,7 @@ def deform_conv2d_pallas(
         x,
         ((0, 0), (halo, halo),
          (halo, (w_pad - w) + (wb_halo - wb - halo)),
-         (0, c_pad - c)),
+         (0, c_pad - ck)),
     )
     pad_cols = w_pad - w
     if pad_cols:
@@ -227,30 +298,32 @@ def deform_conv2d_pallas(
 
     use_mask = mask is not None
     if mask is None:
-        mask = jnp.ones((b, h, w_pad, kk), x.dtype)
+        mask = jnp.ones((bk, h, w_pad, kk * n_pack), x.dtype)
     if bias is None:
-        bias = jnp.zeros((out_c,), jnp.float32)
+        bias = jnp.zeros((ok,), jnp.float32)
 
     weight_flat = jnp.pad(
-        weight.reshape(kk, c, out_c), ((0, 0), (0, c_pad - c), (0, 0))
+        weight.reshape(kk, ck, ok), ((0, 0), (0, c_pad - ck), (0, 0))
     ).astype(x.dtype)
 
     kernel = functools.partial(
-        _dcn_kernel, wb=wb, halo=halo, kk=kk, r=r, use_mask=use_mask
+        _dcn_kernel, wb=wb, halo=halo, kk=kk, lo=lo, hi=hi,
+        n_pack=n_pack, c_real=c_real, use_mask=use_mask,
     )
+    n_sx = 2 * padding + (hi - lo + 1)
 
     out = pl.pallas_call(
         kernel,
-        grid=(b, n_blocks),
+        grid=(bk, n_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
-                (1, h, wb, 2 * kk),
+                (1, h, wb, 2 * kk * n_pack),
                 lambda bi, wi: (bi, 0, wi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, h, wb, kk),
+                (1, h, wb, kk * n_pack),
                 lambda bi, wi: (bi, 0, wi, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -258,19 +331,16 @@ def deform_conv2d_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),      # bias [1, O]
         ],
         out_specs=pl.BlockSpec(
-            (1, h, wb, out_c),
+            (1, h, wb, ok),
             lambda bi, wi: (bi, 0, wi, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w_pad, out_c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bk, h, w_pad, ok), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((h + 2 * halo, wb_halo, c_pad), x.dtype),
-            pltpu.VMEM(
-                (2 * (kh // 2 + r) + 2, h + 2 * halo, wb, c_pad),
-                jnp.float32,
-            ),
+            pltpu.VMEM((n_sx, h + 2 * halo, wb, c_pad), jnp.float32),
             pltpu.VMEM((h, wb, c_pad), jnp.float32),
-            pltpu.VMEM((h * wb, out_c), jnp.float32),
+            pltpu.VMEM((h * wb, ok), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         # Mosaic's default 16 MB scoped-VMEM cap is exceeded by the
@@ -285,6 +355,9 @@ def deform_conv2d_pallas(
         offset.astype(jnp.float32),
         mask.astype(x.dtype),
         weight_flat,
-        bias.astype(jnp.float32).reshape(1, out_c),
+        bias.astype(jnp.float32).reshape(1, ok),
     )
-    return out[:, :, :w]
+    out = out[:, :, :w]
+    if n_pack == 2:
+        out = jnp.concatenate([out[..., :out_c], out[..., out_c:]], axis=0)
+    return out

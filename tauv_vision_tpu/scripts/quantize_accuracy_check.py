@@ -80,6 +80,22 @@ SWEEP_LADDER = (
     ("mse+bc+bf16heads+early01+updown",
      dict(per_channel=True, bias_correct=True, mse=True,
           strip=("head_", "level0_", "level1_", "ida_up", "dla_up"))),
+    # Fourth ladder: MSE clipping measured WORSE for tail agreement
+    # (clipping trades outlier fidelity for bulk resolution; parity is
+    # a tail metric) — walk the plain per-channel-absmax ladder deeper
+    # into the trunk instead.
+    ("pc+bf16heads+early012+updown",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_", "level2",
+                 "ida_up", "dla_up"))),
+    ("pc+bf16heads+early01+updown+lvl5",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_", "level5",
+                 "ida_up", "dla_up"))),
+    ("pc+bf16heads+early0123+updown",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_", "level2", "level3",
+                 "ida_up", "dla_up"))),
 )
 
 

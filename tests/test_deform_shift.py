@@ -50,3 +50,51 @@ def test_shift_dcn_clips_large_offsets_to_zero_contribution():
     mask = jnp.ones((2, 10, 12, 9))
     out = deform_conv2d_shift(x, off, mask, wgt, None, max_offset=2)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-5)
+
+
+def test_shift_dcn_fractional_radius_exact():
+    """Fractional max_offset shrinks the shift window ([-1, 1] for
+    r=0.5) while staying exact for offsets inside the bound."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 7, 9, 6)).astype(np.float32))
+    off = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (2, 7, 9, 18)).astype(np.float32)
+    )
+    mask = jnp.asarray(rng.uniform(0, 1, (2, 7, 9, 9)).astype(np.float32))
+    wgt = jnp.asarray(
+        (rng.standard_normal((3, 3, 6, 5)) * 0.2).astype(np.float32)
+    )
+    a = deform_conv2d(x, off, mask, wgt, None)
+    b = deform_conv2d_shift(x, off, mask, wgt, None, max_offset=0.5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_deform_block_offset_bound():
+    """DeformConvBlock(offset_bound=r) squashes raw offsets through
+    r*tanh(./r): the sown offsets are strictly inside the bound, so the
+    r-window kernels are exact by construction."""
+    import jax
+
+    from tauv_vision_tpu.models.centerpoint_dla import DeformConvBlock
+
+    block = DeformConvBlock(
+        out_channels=8, deform=True, dcn_impl="gather", offset_bound=0.5
+    )
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 8)).astype(np.float32))
+    variables = block.init(jax.random.key(0), x, train=False)
+    # Force large raw offsets through the offset conv kernel.
+    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    params = dict(variables["params"])
+    params["offset"] = {
+        "kernel": jnp.ones_like(variables["params"]["offset"]["kernel"]),
+        "bias": jnp.full_like(variables["params"]["offset"]["bias"], 3.0),
+    }
+    out, state = block.apply(
+        {**variables, "params": params}, x, train=False,
+        mutable=["intermediates"],
+    )
+    sown = state["intermediates"]["dcn_offset"][0]
+    assert float(jnp.max(jnp.abs(sown))) <= 0.5
+    assert out.shape == (1, 6, 6, 8)

@@ -115,3 +115,59 @@ def test_deform_conv_pallas_no_mask_uneven_strips():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_deform_conv_pallas_batch_pair_packing():
+    """c == 64 with even batch takes the batch-pair lane-packing path
+    (2x VPU utilization for the production 64-ch DCN layers) — must
+    match the gather reference exactly like the unpacked path."""
+    from tauv_vision_tpu.ops.deform_conv import deform_conv2d
+    from tauv_vision_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
+
+    rng = np.random.default_rng(5)
+    b, h, w, c, o, r = 4, 9, 12, 64, 64, 1
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    offset = jnp.asarray(
+        rng.uniform(-r, r, (b, h, w, 18)).astype(np.float32)
+    )
+    mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, 9)).astype(np.float32))
+    weight = jnp.asarray(
+        (rng.standard_normal((3, 3, c, o)) * 0.1).astype(np.float32)
+    )
+    bias = jnp.asarray(rng.standard_normal(o).astype(np.float32))
+
+    ref = deform_conv2d(x, offset, mask, weight, bias, stride=1, padding=1)
+    got = deform_conv2d_pallas(
+        x, offset, mask, weight, bias, padding=1, max_offset=r,
+        cols_per_block=8, interpret=True,
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_deform_conv_pallas_fractional_radius():
+    """max_offset=0.5 (the bounded-offset serving config) uses a 3x3
+    shift window and stays exact for |offset| <= 0.5."""
+    from tauv_vision_tpu.ops.deform_conv import deform_conv2d
+    from tauv_vision_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
+
+    rng = np.random.default_rng(6)
+    b, h, w, c, o = 2, 8, 11, 8, 8
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    offset = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (b, h, w, 18)).astype(np.float32)
+    )
+    mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, 9)).astype(np.float32))
+    weight = jnp.asarray(
+        (rng.standard_normal((3, 3, c, o)) * 0.2).astype(np.float32)
+    )
+    ref = deform_conv2d(x, offset, mask, weight, None, stride=1, padding=1)
+    got = deform_conv2d_pallas(
+        x, offset, mask, weight, None, padding=1, max_offset=0.5,
+        cols_per_block=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
