@@ -321,6 +321,34 @@ def load_corrections(raw_pipeline, variables, frames, cache_key, scales):
     return corr
 
 
+def load_seq_corrections(build_forward, variables, frames, cache_key,
+                         scales):
+    """Sequential per-channel affine recalibration
+    (quantize_chain.calibrate_sequential) for the parity-int8 profile,
+    cached like the scales.  Returns (gains, corrections)."""
+    import json
+    import pathlib
+
+    from tauv_vision_tpu.serving.quantize_chain import calibrate_sequential
+
+    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    seq_path = cache_dir / f"seqcorr_{cache_key}.json"
+    if seq_path.exists():
+        loaded = json.loads(seq_path.read_text())
+        return (
+            {k: np.asarray(v) for k, v in loaded["gains"].items()},
+            {k: np.asarray(v) for k, v in loaded["corrections"].items()},
+        )
+    gains, corr = calibrate_sequential(
+        build_forward, variables, scales, frames[:4]
+    )
+    seq_path.write_text(json.dumps({
+        "gains": {k: v.tolist() for k, v in gains.items()},
+        "corrections": {k: v.tolist() for k, v in corr.items()},
+    }))
+    return gains, corr
+
+
 def quantize_pipeline(raw_pipeline, variables, frames, cache_key):
     """Per-layer int8 pipeline (serving/quantize.py quantized_call);
     the default serving profile uses the faster chain-fused forwards
@@ -1198,6 +1226,12 @@ def main():
     # --mse: MSE-optimal per-channel clip refinement on top of the
     # per-channel scales (the final precision lever from the sweep).
     mse = "--mse" in sys.argv
+    # --seq-correct: sequential per-channel affine recalibration
+    # (quantize_chain.calibrate_sequential) — fits each int8 conv's
+    # epilogue (gain, offset) against the float chain with upstream
+    # quantization error included.  Folds into the existing epilogue
+    # multiply-add, so it costs no serving time.
+    seq_correct = "--seq-correct" in sys.argv
     chain = int8 and not deform and "--per-layer-int8" not in sys.argv
     if chain:
         from tauv_vision_tpu.serving.quantize import strip_scales
@@ -1214,7 +1248,7 @@ def main():
             yl_raw, yl_vars, frames, f"yolact_b{batch_size}",
             per_channel=parity,
         )
-        cn_corr = yl_corr = None
+        cn_corr = yl_corr = cn_gains = yl_gains = None
         if parity:
             cn_scales = strip_scales(cn_scales, bf16_tail)
             # YOLACT's decode consumers are the prediction-head output
@@ -1246,13 +1280,52 @@ def main():
                     f"yolact_b{batch_size}_{'-'.join(bf16_tail)}",
                     yl_scales,
                 )
+            if seq_correct:
+                from tauv_vision_tpu.ops.image import preprocess
+                from tauv_vision_tpu.serving.pipeline import (
+                    IMAGENET_MEAN,
+                    IMAGENET_STDDEV,
+                )
+                from tauv_vision_tpu.serving.quantize_chain import (
+                    dla34_chain_forward,
+                    yolact_chain_forward,
+                )
+
+                def cn_build(ctx):
+                    fwd = dla34_chain_forward(
+                        cn_model.object_config, cn_vars, cn_scales, ctx=ctx
+                    )
+                    return lambda f: fwd(preprocess(
+                        f, (cn_cfg.in_h, cn_cfg.in_w), IMAGENET_MEAN,
+                        IMAGENET_STDDEV, dtype=jnp.bfloat16,
+                    ))
+
+                def yl_build(ctx):
+                    fwd = yolact_chain_forward(
+                        yl_cfg, yl_vars, yl_scales, ctx=ctx
+                    )
+                    return lambda f: fwd(preprocess(
+                        f, (yl_cfg.in_h, yl_cfg.in_w), yl_cfg.img_mean,
+                        yl_cfg.img_stddev, dtype=jnp.bfloat16,
+                    ))
+
+                cn_gains, cn_corr = load_seq_corrections(
+                    cn_build, cn_vars, frames,
+                    f"centernet_b{batch_size}_{'-'.join(bf16_tail)}",
+                    cn_scales,
+                )
+                yl_gains, yl_corr = load_seq_corrections(
+                    yl_build, yl_vars, frames,
+                    f"yolact_b{batch_size}_parity", yl_scales,
+                )
         cn_q = make_centernet_chain_pipeline(
             cn_cfg, cn_model.object_config, cn_vars, cn_scales,
             n_detections=10, score_threshold=0.6, corrections=cn_corr,
+            gains=cn_gains,
         )
         yl_q = make_yolact_chain_pipeline(
             yl_cfg, yl_vars, yl_scales, top_k=20, iou_threshold=0.5,
-            confidence_threshold=0.5, corrections=yl_corr,
+            confidence_threshold=0.5, corrections=yl_corr, gains=yl_gains,
         )
         print(
             f"chain-int8{'-parity' if parity else ''}: "
@@ -1300,6 +1373,7 @@ def main():
             "bf16_tail": list(bf16_tail) if (chain and parity) else None,
             "mse_clip": mse if (chain and parity) else None,
             "bias_correct": bias_correct if (chain and parity) else None,
+            "seq_correct": seq_correct if (chain and parity) else None,
             "centernet_fps": round(batch_size / cn_time, 2),
             "yolact_fps": round(batch_size / yl_time, 2),
             "decode_p50_ms": round(decode_p50 * 1e3, 3),

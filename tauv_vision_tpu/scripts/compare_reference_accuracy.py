@@ -414,6 +414,12 @@ def main(argv=None):
     parser.add_argument("--n-train-batches", type=int, default=50)
     parser.add_argument("--n-eval-batches", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument(
+        "--ref-lr", type=float, default=None,
+        help="reference-side learning rate override (the torch DCN-IDA "
+             "model diverges at the rebuild's 1e-3; its production "
+             "recipe is Adam 1e-4, centernet/scripts/train.py:196)",
+    )
     parser.add_argument("--n-detections", type=int, default=8)
     parser.add_argument("--log-every", type=int, default=25)
     parser.add_argument("--cpu", action="store_true",
@@ -446,8 +452,9 @@ def main(argv=None):
 
     print("=== training reference (torch) ===", flush=True)
     ref_model, ref_cfg = train_reference(
-        train_batches, args.steps, args.lr, args.log_every,
-        deform=args.deform,
+        train_batches, args.steps,
+        args.ref_lr if args.ref_lr is not None else args.lr,
+        args.log_every, deform=args.deform,
     )
     ref_dets = eval_reference(ref_model, ref_cfg, eval_batches,
                               args.n_detections)
@@ -461,7 +468,8 @@ def main(argv=None):
                          args.n_detections)
 
     result = {"steps": args.steps, "batch_size": args.batch_size,
-              "lr": args.lr, "n_eval_samples": len(truths),
+              "lr": args.lr, "ref_lr": args.ref_lr,
+              "n_eval_samples": len(truths),
               "deform_comparison": args.deform}
     if args.deform:
         result["reference_model"] = "CenterpointDLA34 (DCN-IDA)"

@@ -96,11 +96,30 @@ SWEEP_LADDER = (
      dict(per_channel=True, bias_correct=False,
           strip=("head_", "level0_", "level1_", "level2", "level3",
                  "ida_up", "dla_up"))),
+    # Fifth ladder: sequential per-channel affine recalibration
+    # (quantize_chain.calibrate_sequential) — each conv's epilogue gets
+    # a (gain, offset) fitted against the float chain with upstream
+    # errors included, free at serving time.  Run on the best plain
+    # rungs from ladder four.
+    ("seqmean+bf16heads+early01+updown",
+     dict(per_channel=True, bias_correct=False, seq="mean",
+          strip=("head_", "level0_", "level1_", "ida_up", "dla_up"))),
+    ("seq+bf16heads+early01+updown",
+     dict(per_channel=True, bias_correct=False, seq="affine",
+          strip=("head_", "level0_", "level1_", "ida_up", "dla_up"))),
+    ("seq+bf16heads+early012+updown",
+     dict(per_channel=True, bias_correct=False, seq="affine",
+          strip=("head_", "level0_", "level1_", "level2",
+                 "ida_up", "dla_up"))),
+    ("seq+bf16heads+early0123+updown",
+     dict(per_channel=True, bias_correct=False, seq="affine",
+          strip=("head_", "level0_", "level1_", "level2", "level3",
+                 "ida_up", "dla_up"))),
 )
 
 
 def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
-               pair_deltas, dets_bf16, truths):
+               pair_deltas, dets_bf16, truths, seq_calibrate=None):
     """Walk SWEEP_LADDER, reporting decoded agreement vs bf16 per rung.
 
     The question this answers (VERDICT r2 item 1a): how much of the
@@ -137,15 +156,19 @@ def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
         if cfg.get("mse"):
             base = scales_mse
         scales = strip_scales(base, cfg["strip"]) if cfg["strip"] else base
-        corr = None
+        corr = gains = None
         if cfg["bias_correct"]:
             # computed against THIS rung's scales (corrections depend on
             # the quantization scheme they compensate)
             print(f"  bias corrections for {name}...", flush=True)
             corr = calibrate_bias_correction(raw_pipeline, cal_frames,
                                              scales)
+        if cfg.get("seq"):
+            print(f"  sequential {cfg['seq']} recalibration for {name}...",
+                  flush=True)
+            gains, corr = seq_calibrate(scales, cfg["seq"])
         print(f"rung {name}: {len(scales)} int8 convs...", flush=True)
-        dets = collect(make_chain_fn(scales, corr))
+        dets = collect(make_chain_fn(scales, corr, gains))
         stats = pair_deltas(dets_bf16, dets)
         stats["name"] = name
         stats["int8_convs"] = len(scales)
@@ -409,11 +432,15 @@ def main(argv=None):
 
     cal_frames = [f[:4] for f in eval_frames[: args.cal_batches]]
 
-    from tauv_vision_tpu.serving.quantize_chain import dla34_chain_forward
+    from tauv_vision_tpu.serving.quantize_chain import (
+        calibrate_sequential,
+        dla34_chain_forward,
+    )
 
-    def make_chain_fn(scales, corrections=None):
+    def make_chain_fn(scales, corrections=None, gains=None):
         chain_forward = dla34_chain_forward(
-            object_config, trained, scales, corrections=corrections
+            object_config, trained, scales, corrections=corrections,
+            gains=gains,
         )
 
         def chain_pipeline(frames_uint8):
@@ -422,10 +449,20 @@ def main(argv=None):
 
         return jax.jit(chain_pipeline)
 
+    def seq_calibrate(scales, mode):
+        def build_forward(ctx):
+            forward = dla34_chain_forward(object_config, trained, scales,
+                                          ctx=ctx)
+            return lambda f: forward(f.astype(jnp.bfloat16) / 255.0)
+
+        batch = jnp.concatenate(cal_frames, axis=0)
+        return calibrate_sequential(build_forward, trained, scales, batch,
+                                    mode=mode)
+
     if args.sweep:
         return _run_sweep(
             args, raw_pipeline, cal_frames, make_chain_fn, collect,
-            pair_deltas, dets_bf16, truths,
+            pair_deltas, dets_bf16, truths, seq_calibrate=seq_calibrate,
         )
 
     print("calibrating int8...", flush=True)

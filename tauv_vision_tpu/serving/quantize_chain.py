@@ -111,12 +111,27 @@ class ChainCtx:
 
     def __init__(self, variables, scales: Dict[str, float],
                  dtype=jnp.bfloat16,
-                 corrections: Optional[Dict[str, np.ndarray]] = None):
+                 corrections: Optional[Dict[str, np.ndarray]] = None,
+                 gains: Optional[Dict[str, np.ndarray]] = None):
         self.params = variables["params"]
         self.stats = variables.get("batch_stats", {})
         self.scales = scales
         self.dtype = dtype
         self.corrections = corrections or {}
+        self.gains = gains or {}
+        # Sequential-correction calibration hooks
+        # (calibrate_sequential): pass A (no scales) captures each
+        # calibrated conv's float pre-bias output map; pass B consumes
+        # them, fitting a per-channel affine (gain, offset) against the
+        # int8 accumulator AS IT ACTUALLY ARRIVES — with every upstream
+        # layer's correction already applied — then applying it before
+        # continuing, so downstream fits see corrected inputs.
+        self.capture_paths: Optional[set] = None
+        self.capture_into: Optional[Dict[str, np.ndarray]] = None
+        self.seq_targets: Optional[Dict[str, np.ndarray]] = None
+        self.seq_mode: str = "affine"
+        self.gains_out: Optional[Dict[str, np.ndarray]] = None
+        self.corrections_out: Optional[Dict[str, np.ndarray]] = None
 
     def s(self, path: str) -> float:
         return self.scales[path]
@@ -180,8 +195,36 @@ class ChainCtx:
                 preferred_element_type=jnp.int32,
             )
             y = acc.astype(jnp.float32) * deq
+            if path in self.gains:
+                y = y * jnp.asarray(self.gains[path], jnp.float32)
             if path in self.corrections:
                 y = y + jnp.asarray(self.corrections[path], jnp.float32)
+            if self.seq_targets is not None and path in self.seq_targets:
+                # Sequential calibration (pass B, eager): fit per-channel
+                # affine anchoring this conv's pre-bias output to the
+                # float chain's, with all upstream corrections already
+                # applied.  Fit once per path (first call wins — for
+                # weight-shared heads the largest FPN level comes first);
+                # later calls reuse the recorded fit, matching serving.
+                if path not in self.gains_out:
+                    yf = jnp.asarray(self.seq_targets[path], jnp.float32)
+                    mq = y.mean(axis=(0, 1, 2))
+                    mf = yf.mean(axis=(0, 1, 2))
+                    if self.seq_mode == "affine":
+                        var = jnp.square(y - mq).mean(axis=(0, 1, 2))
+                        cov = ((y - mq) * (yf - mf)).mean(axis=(0, 1, 2))
+                        a = jnp.where(
+                            var > 1e-10, cov / jnp.maximum(var, 1e-10), 1.0
+                        )
+                        a = jnp.clip(a, 0.5, 2.0)
+                    else:
+                        a = jnp.ones_like(mq)
+                    self.gains_out[path] = np.asarray(a, np.float32)
+                    self.corrections_out[path] = np.asarray(
+                        mf - a * mq, np.float32
+                    )
+                y = y * jnp.asarray(self.gains_out[path], jnp.float32)
+                y = y + jnp.asarray(self.corrections_out[path], jnp.float32)
         else:
             assert inp.dtype != jnp.int8, (
                 f"producer emitted int8 but {path} is uncalibrated"
@@ -192,6 +235,15 @@ class ChainCtx:
                 xf, k, window_strides=tuple(strides), padding=padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ).astype(jnp.float32)
+            if (
+                self.capture_into is not None
+                and path not in self.capture_into
+                and (self.capture_paths is None
+                     or path in self.capture_paths)
+            ):
+                # Sequential calibration pass A: record the float chain's
+                # pre-bias output (first call per path, mirroring pass B).
+                self.capture_into[path] = np.asarray(y, np.float32)
 
         if bias is not None:
             y = y + bias
@@ -205,6 +257,52 @@ class ChainCtx:
         if next_path is not None and self.has(next_path):
             return _quant(y, self.s(next_path))
         return y.astype(self.dtype)
+
+
+def calibrate_sequential(
+    build_forward,
+    variables,
+    scales: Dict[str, float],
+    batch,
+    mode: str = "affine",
+    dtype=jnp.bfloat16,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Sequential per-channel affine recalibration of an int8 chain.
+
+    ``calibrate_bias_correction`` estimates each conv's quantization
+    error with FLOAT inputs, so it misses the error that accumulates
+    through the chain — and a static mean is all it can fix.  This runs
+    two passes of the SAME chain forward over one calibration batch:
+
+    - pass A: float (bf16) chain, capturing every calibrated conv's
+      pre-bias output map — the exact tensors the parity path produces;
+    - pass B: int8 chain, eager, fitting per path a per-channel affine
+      ``a * y_int8 + b ~= y_float`` least-squares on the accumulator as
+      it actually arrives (all upstream fits already applied), then
+      applying it before the chain continues.
+
+    ``mode="mean"`` pins ``a = 1`` (offset only).  The returned
+    ``(gains, corrections)`` feed ``ChainCtx(gains=..., corrections=...)``
+    — at serving they fold into the conv epilogue with the BN affine,
+    so the correction is free.
+
+    ``build_forward(ctx) -> fn(batch)`` must construct the chain forward
+    around the provided ctx (e.g. ``dla34_chain_forward(..., ctx=ctx)``)
+    with any input preprocessing inside ``fn``, and must NOT jit it —
+    pass B records fits from concrete (eager) values.
+    """
+    ctx_a = ChainCtx(variables, {}, dtype=dtype)
+    ctx_a.capture_into = {}
+    ctx_a.capture_paths = set(scales)
+    jax.block_until_ready(build_forward(ctx_a)(batch))
+
+    ctx_b = ChainCtx(variables, scales, dtype=dtype)
+    ctx_b.seq_targets = ctx_a.capture_into
+    ctx_b.seq_mode = mode
+    ctx_b.gains_out = {}
+    ctx_b.corrections_out = {}
+    jax.block_until_ready(build_forward(ctx_b)(batch))
+    return ctx_b.gains_out, ctx_b.corrections_out
 
 
 # ------------------------------------------------------- ResNet-18 chain
@@ -387,14 +485,17 @@ def prediction_head_chain(
 
 
 def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
-                         dtype=jnp.bfloat16, corrections=None):
+                         dtype=jnp.bfloat16, corrections=None, gains=None,
+                         ctx=None):
     """Returns ``fn(img) -> YolactPrediction`` running the chain-int8
     YOLACT forward (models/yolact.py:50-116)."""
     from tauv_vision_tpu.models.yolact import YolactPrediction
     from tauv_vision_tpu.ops.anchors import get_all_anchors
 
     cfg = model_config
-    ctx = ChainCtx(variables, scales, dtype=dtype, corrections=corrections)
+    if ctx is None:
+        ctx = ChainCtx(variables, scales, dtype=dtype,
+                       corrections=corrections, gains=gains)
     anchor = jnp.asarray(
         get_all_anchors(cfg.in_h, cfg.in_w, cfg.n_fpn_levels,
                         cfg.anchor_scales, cfg.anchor_aspect_ratios)
@@ -434,7 +535,7 @@ def make_yolact_chain_pipeline(
     model_config, variables, scales: Dict[str, float],
     top_k: int = 20, iou_threshold: float = 0.5,
     confidence_threshold: float = 0.5, dtype=jnp.bfloat16, jit: bool = True,
-    corrections=None,
+    corrections=None, gains=None,
 ):
     """uint8 frames -> decoded YolactDetections via the chain-int8
     forward (drop-in for make_yolact_pipeline + quantized_call)."""
@@ -443,7 +544,7 @@ def make_yolact_chain_pipeline(
 
     cfg = model_config
     forward = yolact_chain_forward(cfg, variables, scales, dtype=dtype,
-                                   corrections=corrections)
+                                   corrections=corrections, gains=gains)
 
     def pipeline(img_uint8):
         img = preprocess(
@@ -604,7 +705,7 @@ def _ida_stage_chain(ctx: ChainCtx, layers, prefix: str, up_factors):
 
 def dla34_chain_forward(object_config, variables,
                         scales: Dict[str, float], dtype=jnp.bfloat16,
-                        corrections=None):
+                        corrections=None, gains=None, ctx=None):
     """Chain-int8 CenterpointDLA34 forward (plain-conv IDA, the bench
     serving configuration) -> Prediction (models/centerpoint_dla.py
     DLASeg + CenterpointDLA34)."""
@@ -612,7 +713,9 @@ def dla34_chain_forward(object_config, variables,
     from tauv_vision_tpu.models.centernet import Prediction
     from tauv_vision_tpu.models.centerpoint_dla import DLA34_CHANNELS
 
-    ctx = ChainCtx(variables, scales, dtype=dtype, corrections=corrections)
+    if ctx is None:
+        ctx = ChainCtx(variables, scales, dtype=dtype,
+                       corrections=corrections, gains=gains)
     oc = object_config
     head_channels = get_head_channels(oc)
     first_level = 2  # down_ratio 4
@@ -689,7 +792,7 @@ def dla34_chain_forward(object_config, variables,
 def make_centernet_chain_pipeline(
     model_config, object_config, variables, scales: Dict[str, float],
     n_detections: int = 10, score_threshold: float = 0.6,
-    dtype=jnp.bfloat16, jit: bool = True, corrections=None,
+    dtype=jnp.bfloat16, jit: bool = True, corrections=None, gains=None,
 ):
     """uint8 frames -> decoded Detections via the chain-int8 DLA-34
     forward (drop-in for make_centernet_pipeline + quantized_call)."""
@@ -701,7 +804,8 @@ def make_centernet_chain_pipeline(
     )
 
     forward = dla34_chain_forward(object_config, variables, scales,
-                                  dtype=dtype, corrections=corrections)
+                                  dtype=dtype, corrections=corrections,
+                                  gains=gains)
 
     def pipeline(img_uint8):
         img = preprocess(
@@ -720,7 +824,7 @@ def make_centernet_keypoint_chain_pipeline(
     projection_matrix,
     n_detections: int = 10, keypoint_n_detections: int = 50,
     score_threshold: float = 0.6, keypoint_score_threshold: float = 0.3,
-    dtype=jnp.bfloat16, jit: bool = True, corrections=None,
+    dtype=jnp.bfloat16, jit: bool = True, corrections=None, gains=None,
 ):
     """Chain-int8 keypoint+PnP pipeline: the centernet node's FULL
     configuration (centernet_node.py:106-116) over the chain-fused
@@ -736,7 +840,8 @@ def make_centernet_keypoint_chain_pipeline(
 
     projection_matrix = jnp.asarray(projection_matrix)
     forward = dla34_chain_forward(object_config, variables, scales,
-                                  dtype=dtype, corrections=corrections)
+                                  dtype=dtype, corrections=corrections,
+                                  gains=gains)
 
     def pipeline(img_uint8):
         img = preprocess(
@@ -837,7 +942,7 @@ def _yolo_pose_head_chain(ctx: ChainCtx, fpn_output, cfg):
 
 def yolo_pose_chain_forward(model_config, variables,
                             scales: Dict[str, float], dtype=jnp.bfloat16,
-                            corrections=None):
+                            corrections=None, gains=None, ctx=None):
     """Chain-int8 YoloPose forward (models/yolo_pose.py YoloPose;
     reference intent yolo_pose/model/model.py:20-68).  Requires the
     ResNet-18 backbone (the bench/serving configuration)."""
@@ -849,7 +954,9 @@ def yolo_pose_chain_forward(model_config, variables,
         raise NotImplementedError(
             "chain forward covers the ResNet-18 backbone"
         )
-    ctx = ChainCtx(variables, scales, dtype=dtype, corrections=corrections)
+    if ctx is None:
+        ctx = ChainCtx(variables, scales, dtype=dtype,
+                       corrections=corrections, gains=gains)
     anchor = jnp.asarray(
         get_all_anchors(cfg.in_h, cfg.in_w, cfg.n_fpn_levels,
                         cfg.anchor_scales, cfg.anchor_aspect_ratios)
@@ -887,7 +994,7 @@ def make_yolo_pose_chain_pipeline(
     confidence_threshold: float = 0.5,
     keypoint_score_threshold: float = 0.3,
     object_points=None, camera_matrix=None,
-    dtype=jnp.bfloat16, jit: bool = True, corrections=None,
+    dtype=jnp.bfloat16, jit: bool = True, corrections=None, gains=None,
     split_pnp="auto",
 ):
     """uint8 frames -> decoded YOLO-Pose keypoints via the chain-int8
@@ -911,7 +1018,7 @@ def make_yolo_pose_chain_pipeline(
         camera_matrix = jnp.asarray(camera_matrix)
     want_pnp = object_points is not None and camera_matrix is not None
     forward = yolo_pose_chain_forward(cfg, variables, scales, dtype=dtype,
-                                      corrections=corrections)
+                                      corrections=corrections, gains=gains)
 
     def make(fuse_pnp: bool):
         def pipeline(img_uint8):

@@ -183,3 +183,84 @@ def test_yolo_pose_chain_matches_per_layer_int8():
     np.testing.assert_allclose(
         np.asarray(chain.anchor), np.asarray(ref.anchor), atol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_sequential_calibration_reduces_chain_error():
+    """calibrate_sequential fits per-channel (gain, offset) epilogue
+    corrections against the float chain with upstream errors included;
+    on the calibration distribution the corrected chain must land at
+    least as close to float as the uncorrected chain (measured on the
+    pre-activation model outputs, where the affine acts)."""
+    from tauv_vision_tpu.models.yolact import Yolact
+    from tauv_vision_tpu.serving.quantize_chain import (
+        calibrate_sequential,
+        yolact_chain_forward,
+    )
+
+    cfg = _small_cfg()
+    model = Yolact(cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    apply_fn = lambda b: model.apply(variables, b, train=False)  # noqa: E731
+
+    scales = calibrate(apply_fn, [x], per_channel=True)
+
+    def build_forward(ctx):
+        return yolact_chain_forward(cfg, variables, scales, ctx=ctx)
+
+    gains, corrections = calibrate_sequential(
+        build_forward, variables, scales, x, mode="affine",
+        dtype=jnp.float32,
+    )
+    assert set(gains) == set(corrections)
+    assert gains  # at least one conv fitted
+    for path, g in gains.items():
+        assert g.ndim == 1 and np.isfinite(g).all(), path
+        assert corrections[path].shape == g.shape, path
+
+    ref = apply_fn(x)
+    plain = jax.jit(
+        yolact_chain_forward(cfg, variables, scales, dtype=jnp.float32)
+    )(x)
+    seq = jax.jit(
+        yolact_chain_forward(cfg, variables, scales, dtype=jnp.float32,
+                             corrections=corrections, gains=gains)
+    )(x)
+
+    improved = 0
+    for field in ("classification", "box_encoding", "mask_prototype"):
+        r = np.asarray(getattr(ref, field), np.float32)
+        ep = np.abs(np.asarray(getattr(plain, field), np.float32) - r).mean()
+        es = np.abs(np.asarray(getattr(seq, field), np.float32) - r).mean()
+        assert np.isfinite(es)
+        # allow per-field noise; require no field to regress materially
+        assert es <= ep * 1.1, (field, es, ep)
+        improved += int(es < ep)
+    assert improved >= 1, "sequential fit should tighten some output"
+
+
+@pytest.mark.slow
+def test_sequential_calibration_mean_mode_pins_gain():
+    from tauv_vision_tpu.models.yolact import Yolact
+    from tauv_vision_tpu.serving.quantize_chain import (
+        calibrate_sequential,
+        yolact_chain_forward,
+    )
+
+    cfg = _small_cfg()
+    model = Yolact(cfg)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(1), x, train=False)
+    apply_fn = lambda b: model.apply(variables, b, train=False)  # noqa: E731
+    scales = calibrate(apply_fn, [x], per_channel=True)
+
+    gains, corrections = calibrate_sequential(
+        lambda ctx: yolact_chain_forward(cfg, variables, scales, ctx=ctx),
+        variables, scales, x, mode="mean", dtype=jnp.float32,
+    )
+    for path, g in gains.items():
+        np.testing.assert_array_equal(g, np.ones_like(g)), path
+    assert any(np.abs(c).max() > 0 for c in corrections.values())
