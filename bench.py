@@ -45,7 +45,7 @@ def _enable_compilation_cache():
 
 
 def build_centernet(deform: bool = True, dcn_impl: str = "pallas",
-                    dcn_max_offset: int = 3):
+                    dcn_max_offset: float = 3, dcn_bound: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -86,6 +86,7 @@ def build_centernet(deform: bool = True, dcn_impl: str = "pallas",
     model = CenterpointDLA34(
         object_config=object_config, dtype=jnp.bfloat16, deform=deform,
         dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
+        offset_bound=dcn_max_offset if dcn_bound else None,
     )
     img = jnp.zeros((1, BENCH_H, BENCH_W, 3), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, img, train=False))(
@@ -1175,9 +1176,16 @@ def main():
     # exactness-tested default; smaller R serves faster (VPU work and
     # kernel size scale with (2R+2)^2) at the cost of clamping rarer
     # large offsets.
-    dcn_max_offset = 3
+    dcn_max_offset = 3.0
     if "--dcn-max-offset" in sys.argv:
-        dcn_max_offset = int(sys.argv[sys.argv.index("--dcn-max-offset") + 1])
+        dcn_max_offset = float(
+            sys.argv[sys.argv.index("--dcn-max-offset") + 1]
+        )
+    # --dcn-bound: bounded-offset DCNv2 (offset_bound == max_offset, so
+    # the Pallas shift-window kernel is exact by construction; fractional
+    # radii shrink the per-tap shift window — r=0.5 needs 3x3 instead of
+    # r=1's 4x4).
+    dcn_bound = "--dcn-bound" in sys.argv
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (batch_size, BENCH_H, BENCH_W, 3),
@@ -1189,7 +1197,8 @@ def main():
     frames = jnp.asarray(frames)
 
     cn_pipeline, cn_vars, cn_model, cn_cfg, cn_raw = build_centernet(
-        deform=deform, dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset
+        deform=deform, dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
+        dcn_bound=dcn_bound,
     )
     yl_pipeline, yl_vars, yl_model, yl_cfg, yl_raw = build_yolact()
 
@@ -1251,13 +1260,16 @@ def main():
         cn_corr = yl_corr = cn_gains = yl_gains = None
         if parity:
             cn_scales = strip_scales(cn_scales, bf16_tail)
-            # YOLACT's decode consumers are the prediction-head output
-            # convs + the protonet output (mask prototypes).
+            # YOLACT parity tail: the WHOLE shared prediction head runs
+            # bf16 — the yolact_parity_check ladder measured the head
+            # convs as the entire decoded-error source (score p95
+            # 3.4e-3 with any part of the head int8 vs 3.0e-4 with it
+            # bf16), while backbone+FPN+protonet int8 moved nothing.
+            # The head is ~1 ms of the ~65 ms batch-128 budget.
             yl_tail = tuple(
                 t for t in bf16_tail
                 if not t.startswith(("head_", "level", "ida_up", "dla_up"))
-            ) + ("prediction_head/classification", "prediction_head/box",
-                 "prediction_head/mask", "protonet/output")
+            ) + ("prediction_head", "protonet/output")
             yl_scales = strip_scales(yl_scales, yl_tail)
             if mse:
                 cn_scales = load_scales_mse(
@@ -1365,6 +1377,8 @@ def main():
             "batch_size": batch_size,
             "deform_conv": deform,
             "dcn_impl": dcn_impl if deform else None,
+            "dcn_max_offset": dcn_max_offset if deform else None,
+            "dcn_bound": dcn_bound if deform else None,
             "int8": int8,
             "int8_mode": (
                 ("chain-parity" if parity else "chain")

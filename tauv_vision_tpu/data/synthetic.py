@@ -29,6 +29,14 @@ class SquareDatasetConfig:
     max_side: int = 24
     noise_level: float = 0.3
     rotate: bool = True
+    keypoints: bool = False  # emit the 4 square corners as keypoints
+
+
+# Unit-square corner offsets (object frame, (y, x) in half-side units):
+# the synthetic keypoint set (4 per object, fixed order so the global
+# keypoint index is well-defined).  3D object points for PnP-style
+# configs: (y, x, 0) with z = 0.
+SQUARE_CORNERS = ((-0.5, -0.5), (-0.5, 0.5), (0.5, 0.5), (0.5, -0.5))
 
 
 def _paint_square(
@@ -59,6 +67,11 @@ def generate_square_batch(
     center = np.zeros((batch_size, n, 2), np.float32)
     size = np.zeros((batch_size, n, 2), np.float32)
     yaw = np.zeros((batch_size, n), np.float32)
+    k_slots = 4 * n
+    kp_valid = np.zeros((batch_size, k_slots), bool)
+    kp_label = np.zeros((batch_size, k_slots), np.int32)
+    kp_center = np.zeros((batch_size, k_slots, 2), np.float32)
+    kp_object = np.zeros((batch_size, k_slots), np.int32)
 
     for b in range(batch_size):
         n_objects = int(rng.integers(1, n + 1))
@@ -78,6 +91,19 @@ def generate_square_batch(
             size[b, i] = (extent / h, extent / w)
             yaw[b, i] = theta
 
+            if cfg.keypoints:
+                # Corners in SQUARE_CORNERS order, rotated into image
+                # coords (inverse of _paint_square's rotation).
+                ct, st = np.cos(theta), np.sin(theta)
+                for ki, (ry, rx) in enumerate(SQUARE_CORNERS):
+                    dy = (ct * ry + st * rx) * side
+                    dx = (-st * ry + ct * rx) * side
+                    slot = 4 * i + ki
+                    kp_valid[b, slot] = True
+                    kp_label[b, slot] = ki  # global kp index (1 class)
+                    kp_center[b, slot] = ((cy + dy) / h, (cx + dx) / w)
+                    kp_object[b, slot] = i
+
     truth = CenternetTruth(
         valid=valid,
         label=label,
@@ -87,6 +113,10 @@ def generate_square_batch(
         roll=np.zeros_like(yaw),
         pitch=np.zeros_like(yaw),
         depth=np.ones_like(yaw),
+        keypoint_valid=kp_valid if cfg.keypoints else None,
+        keypoint_label=kp_label if cfg.keypoints else None,
+        keypoint_center=kp_center if cfg.keypoints else None,
+        keypoint_object_index=kp_object if cfg.keypoints else None,
     )
     return img, truth
 

@@ -115,6 +115,49 @@ SWEEP_LADDER = (
      dict(per_channel=True, bias_correct=False, seq="affine",
           strip=("head_", "level0_", "level1_", "level2", "level3",
                  "ida_up", "dla_up"))),
+    # Sixth ladder: single-level int8 subsets — maps each trunk level's
+    # error contribution so the headline config can keep int8 exactly
+    # where the fps/error trade is best (sequential recalibration
+    # measured as a dead end: the residual error is input-dependent
+    # noise, not a per-channel affine).
+    ("pc+only-lvl2",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_", "level3", "level4",
+                 "level5", "ida_up", "dla_up"))),
+    ("pc+only-lvl23",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_", "level4", "level5",
+                 "ida_up", "dla_up"))),
+    ("pc+only-lvl234",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_", "level5",
+                 "ida_up", "dla_up"))),
+    ("pc+only-lvl5",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_", "level2", "level3",
+                 "level4", "ida_up", "dla_up"))),
+    ("pc+only-lvl4",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_", "level2", "level3",
+                 "level5", "ida_up", "dla_up"))),
+    ("pc+only-lvl34",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level0_", "level1_", "level2",
+                 "level5", "ida_up", "dla_up"))),
+    # Control rung: ZERO int8 convs — measures the chain forward's own
+    # float-path drift vs the flax forward (different rounding orders at
+    # bf16: folded-BN f32 affine + f32 joins vs flax's bf16 BN).  The
+    # single-level rungs all floor at ~1.6e-3 regardless of WHICH level
+    # is int8, which smells like implementation drift, not quant noise.
+    ("pc+none",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "level", "ida_up", "dla_up", "base"))),
+    # Pseudo-rung: the flax bf16 serving pipeline itself (no chain, no
+    # int8).  Meaningful with --baseline f32: measures the bf16
+    # serving path's own decoded drift vs the f32 reference — the
+    # context every chain rung's number must be read against.
+    ("flax-bf16", dict(per_channel=True, bias_correct=False, strip=(),
+                       flax_bf16=True)),
 )
 
 
@@ -167,8 +210,16 @@ def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
             print(f"  sequential {cfg['seq']} recalibration for {name}...",
                   flush=True)
             gains, corr = seq_calibrate(scales, cfg["seq"])
-        print(f"rung {name}: {len(scales)} int8 convs...", flush=True)
-        dets = collect(make_chain_fn(scales, corr, gains))
+        if cfg.get("flax_bf16"):
+            import jax
+
+            print("rung flax-bf16 (serving pipeline, no chain)...",
+                  flush=True)
+            scales = {}
+            dets = collect(jax.jit(raw_pipeline))
+        else:
+            print(f"rung {name}: {len(scales)} int8 convs...", flush=True)
+            dets = collect(make_chain_fn(scales, corr, gains))
         stats = pair_deltas(dets_bf16, dets)
         stats["name"] = name
         stats["int8_convs"] = len(scales)
@@ -226,8 +277,24 @@ def main(argv=None):
                              "stages) and report decoded deltas per rung")
     parser.add_argument("--rungs", nargs="*", default=None,
                         help="subset of SWEEP_LADDER rung names to run")
+    parser.add_argument("--baseline", choices=("bf16", "f32"),
+                        default="bf16",
+                        help="float reference for the decoded-delta "
+                             "comparison: the bf16 serving pipeline "
+                             "(default) or the f32 flax forward (the "
+                             "torch-f32-equivalent the parity suite "
+                             "certifies)")
+    parser.add_argument("--keypoints", action="store_true",
+                        help="keypoint-pipeline parity: train with the 4 "
+                             "square-corner keypoints and compare decoded "
+                             "keypoint positions/scores (decode_keypoints, "
+                             "the centernet node's full configuration) "
+                             "between bf16 and chain-int8")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
+    if args.keypoints and not args.sweep:
+        parser.error("--keypoints requires --sweep (decoded-delta rows; "
+                     "the AP path decodes plain detections only)")
 
     import pathlib
 
@@ -271,13 +338,17 @@ def main(argv=None):
         make_centernet_train_step,
     )
 
+    from tauv_vision_tpu.data.synthetic import SQUARE_CORNERS
+
     object_config = ObjectConfigSet(configs=(
         ObjectConfig(
             id="square",
             yaw=AngleConfig(train=False, modulo=2 * pi),
             pitch=AngleConfig(train=False, modulo=2 * pi),
             roll=AngleConfig(train=False, modulo=2 * pi),
-            train_depth=False, train_keypoints=False, keypoints=None,
+            train_depth=False, train_keypoints=args.keypoints,
+            keypoints=tuple((x, y, 0.0) for y, x in SQUARE_CORNERS)
+            if args.keypoints else None,
         ),
     ))
     model_config = CenternetModelConfig(
@@ -293,15 +364,19 @@ def main(argv=None):
         keypoint_affinity_sigma=2.0, loss_lambda_keypoint_heatmap=1.0,
         loss_lambda_keypoint_affinity=1.0, loss_lambda_size=0.1,
         loss_lambda_offset=1.0, loss_lambda_angle=1.0,
-        loss_lambda_depth=1.0, max_objects=4, max_keypoints=4,
+        loss_lambda_depth=1.0, max_objects=4,
+        max_keypoints=16 if args.keypoints else 4,
     )
     square_cfg = SquareDatasetConfig(
         in_h=IN_H, in_w=IN_W, max_objects=4, min_side=24, max_side=96,
-        rotate=False,
+        rotate=False, keypoints=args.keypoints,
     )
 
     model = CenterpointDLA34(
         object_config=object_config, dtype=jnp.bfloat16, deform=False
+    )
+    model_f32 = CenterpointDLA34(
+        object_config=object_config, dtype=jnp.float32, deform=False
     )
 
     if args.load_model:
@@ -351,10 +426,33 @@ def main(argv=None):
 
     # Serving fns: synthetic floats [0,1] -> uint8 frames at the model's
     # native 640x360 (no resize — truth stays aligned).
+    projection = jnp.asarray(
+        [[500.0, 0.0, IN_W / 2], [0.0, 500.0, IN_H / 2], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+
+    def decode_fn(prediction):
+        if args.keypoints:
+            from tauv_vision_tpu.serving.centernet_decode import (
+                decode_keypoints,
+            )
+
+            return decode_keypoints(
+                prediction, model_config, object_config, projection,
+                n_detections=10, keypoint_n_detections=50,
+                score_threshold=0.3, keypoint_score_threshold=0.3,
+            )
+        return decode(prediction, model_config, 10, 0.3)
+
     def raw_pipeline(frames_uint8):
         img = frames_uint8.astype(jnp.bfloat16) / 255.0
         prediction = model.apply(trained, img, train=False)
-        return decode(prediction, model_config, 10, 0.3)
+        return decode_fn(prediction)
+
+    def f32_pipeline(frames_uint8):
+        img = frames_uint8.astype(jnp.float32) / 255.0
+        prediction = model_f32.apply(trained, img, train=False)
+        return decode_fn(prediction)
 
     eval_rng = np.random.default_rng(1007)
     eval_sets = [
@@ -370,12 +468,98 @@ def main(argv=None):
         out = []
         for frames in eval_frames:
             d = fn(frames)
+            if args.keypoints:
+                out.append(jax.tree_util.tree_map(np.asarray, d))
+                continue
             out.extend(detections_from_arrays(
                 np.asarray(d.valid), np.asarray(d.score),
                 np.asarray(d.label), np.asarray(d.y), np.asarray(d.x),
                 np.asarray(d.h), np.asarray(d.w),
             ))
         return out
+
+    def pair_deltas_kp(dets_a, dets_b):
+        """Keypoint-pipeline agreement: greedy same-label center match
+        on the parent detections, then per matched pair compare every
+        keypoint slot both sides decoded (position, score) plus the
+        parent score/center/size — the full centernet-node output
+        surface (centernet_node.py:106-116) minus PnP (4 corner
+        keypoints < the 6-keypoint PnP gate)."""
+        kc_d, ks_d, center_d, score_d, size_d = [], [], [], [], []
+        matched = total = kp_total = kp_matched = 0
+        for da, db in zip(dets_a, dets_b):
+            pa, pb = da.detections, db.detections
+            for b in range(pa.valid.shape[0]):
+                ia = [i for i in range(pa.valid.shape[1]) if pa.valid[b, i]]
+                ib = [j for j in range(pb.valid.shape[1]) if pb.valid[b, j]]
+                total += len(ia)
+                used = set()
+                for i in ia:
+                    best, best_dist = None, 0.05
+                    for j in ib:
+                        if j in used or pa.label[b, i] != pb.label[b, j]:
+                            continue
+                        dist = float(
+                            (pa.y[b, i] - pb.y[b, j]) ** 2
+                            + (pa.x[b, i] - pb.x[b, j]) ** 2
+                        ) ** 0.5
+                        if dist < best_dist:
+                            best, best_dist = j, dist
+                    if best is None:
+                        continue
+                    used.add(best)
+                    matched += 1
+                    j = best
+                    center_d.append(best_dist)
+                    score_d.append(
+                        abs(float(pa.score[b, i]) - float(pb.score[b, j]))
+                    )
+                    size_d.append(max(
+                        abs(float(pa.h[b, i] - pb.h[b, j])),
+                        abs(float(pa.w[b, i] - pb.w[b, j])),
+                    ))
+                    for sl in range(da.keypoint_valid.shape[2]):
+                        va = bool(da.keypoint_valid[b, i, sl])
+                        vb = bool(db.keypoint_valid[b, j, sl])
+                        kp_total += int(va)
+                        if not (va and vb):
+                            continue
+                        kp_matched += 1
+                        kc_d.append(float(
+                            (da.keypoint_y[b, i, sl]
+                             - db.keypoint_y[b, j, sl]) ** 2
+                            + (da.keypoint_x[b, i, sl]
+                               - db.keypoint_x[b, j, sl]) ** 2
+                        ) ** 0.5)
+                        ks_d.append(abs(
+                            float(da.keypoint_score[b, i, sl])
+                            - float(db.keypoint_score[b, j, sl])
+                        ))
+        stats = {
+            "total": total,
+            "matched_fraction": round(matched / max(total, 1), 4),
+            "kp_total": kp_total,
+            "kp_matched_fraction": round(kp_matched / max(kp_total, 1), 4),
+        }
+        for vals, what in ((center_d, "center"), (score_d, "score"),
+                           (size_d, "size"), (kc_d, "kp_center"),
+                           (ks_d, "kp_score")):
+            if not vals:
+                continue
+            for pct in (50, 95):
+                stats[f"{what}_delta_p{pct}"] = round(
+                    float(np.percentile(vals, pct)), 6
+                )
+            stats[f"{what}_delta_max"] = round(float(np.max(vals)), 6)
+        if score_d and kc_d:
+            stats["all_deltas_le_1e3"] = bool(
+                np.percentile(score_d, 95) <= 1e-3
+                and np.percentile(center_d, 95) <= 1e-3
+                and np.percentile(size_d, 95) <= 1e-3
+                and np.percentile(kc_d, 95) <= 1e-3
+                and np.percentile(ks_d, 95) <= 1e-3
+            )
+        return stats
 
     def pair_deltas(dets_a, dets_b):
         """Greedy same-label nearest matching of decoded detections;
@@ -423,9 +607,11 @@ def main(argv=None):
             )
         return stats
 
-    bf16_fn = jax.jit(raw_pipeline)
-    print("decoding bf16 reference...", flush=True)
-    dets_bf16 = collect(bf16_fn)
+    baseline_pipeline = (
+        f32_pipeline if args.baseline == "f32" else raw_pipeline
+    )
+    print(f"decoding {args.baseline} reference...", flush=True)
+    dets_bf16 = collect(jax.jit(baseline_pipeline))
     truths = []
     for _, truth in eval_sets:
         truths.extend(truths_from_batch(truth))
@@ -445,7 +631,7 @@ def main(argv=None):
 
         def chain_pipeline(frames_uint8):
             img = frames_uint8.astype(jnp.bfloat16) / 255.0
-            return decode(chain_forward(img), model_config, 10, 0.3)
+            return decode_fn(chain_forward(img))
 
         return jax.jit(chain_pipeline)
 
@@ -462,7 +648,8 @@ def main(argv=None):
     if args.sweep:
         return _run_sweep(
             args, raw_pipeline, cal_frames, make_chain_fn, collect,
-            pair_deltas, dets_bf16, truths, seq_calibrate=seq_calibrate,
+            pair_deltas_kp if args.keypoints else pair_deltas,
+            dets_bf16, truths, seq_calibrate=seq_calibrate,
         )
 
     print("calibrating int8...", flush=True)

@@ -139,6 +139,22 @@ class ChainCtx:
     def bn(self, path: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return _bn_affine(_get(self.params, path), _get(self.stats, path))
 
+    def bn_exact(self, y: jnp.ndarray, path: str) -> jnp.ndarray:
+        """Inference BatchNorm with flax's exact op order and dtypes
+        (nn.normalization._normalize, dtype=float32): promote to f32,
+        y = (x - mean) * (rsqrt(var + eps) * scale) + bias.  The float
+        chain must round EXACTLY like the flax forward — the folded
+        single-affine form rounds differently and the decoded-parity
+        budget is ~1 bf16 ulp."""
+        p = _get(self.params, path)
+        st = _get(self.stats, path)
+        mul = jax.lax.rsqrt(
+            st["var"].astype(jnp.float32) + BN_EPS
+        ) * p["scale"].astype(jnp.float32)
+        return (
+            y.astype(jnp.float32) - st["mean"].astype(jnp.float32)
+        ) * mul + p["bias"].astype(jnp.float32)
+
     def has(self, path: str) -> bool:
         return path in self.scales
 
@@ -161,6 +177,14 @@ class ChainCtx:
         ``next_path``'s scale when that layer is calibrated — by
         construction the consumer is exactly ``next_path``, so an int8
         input always arrives in the right scale — float otherwise.
+
+        Float emission mirrors the flax forward's dtype flow EXACTLY:
+        BN outputs are f32 (flax BN runs dtype=f32 and its result flows
+        onward unrounded), plain conv(+bias) outputs are ``self.dtype``
+        (flax Conv adds bias and returns in its dtype).  An earlier
+        revision rounded every boundary to bf16; that one extra rounding
+        per layer cost ~1.6e-3 decoded score-delta p95 vs the flax
+        pipeline — the same size as the entire int8 parity budget.
         """
         p = _get(self.params, path)
         bias = p.get("bias")
@@ -168,6 +192,7 @@ class ChainCtx:
         if isinstance(padding, int):
             padding = ((padding, padding), (padding, padding))
 
+        quantized = False
         if transpose:
             # Transposed convs stay bf16-dilated: measured on-chip, int8
             # never wins here (serving/quantize.py._should_quantize).
@@ -179,8 +204,9 @@ class ChainCtx:
             y = jax.lax.conv_general_dilated(
                 xf, flipped, (1, 1), ((1, 2), (1, 2)), lhs_dilation=(2, 2),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ).astype(jnp.float32)
+            )
         elif self.has(path):
+            quantized = True
             s_in = self.s(path)
             q = inp if inp.dtype == jnp.int8 else _quant(inp, s_in)
             if _is_per_channel(s_in):
@@ -234,7 +260,7 @@ class ChainCtx:
             y = jax.lax.conv_general_dilated(
                 xf, k, window_strides=tuple(strides), padding=padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ).astype(jnp.float32)
+            )
             if (
                 self.capture_into is not None
                 and path not in self.capture_into
@@ -246,17 +272,26 @@ class ChainCtx:
                 self.capture_into[path] = np.asarray(y, np.float32)
 
         if bias is not None:
-            y = y + bias
+            # int8: exact f32 add on the dequantized accumulator.
+            # float: flax Conv adds bias in the conv dtype.
+            y = y + (bias if quantized else bias.astype(y.dtype))
         if bn_path is not None:
-            g, b = self.bn(bn_path)
-            y = y * g + b
+            if quantized:
+                g, b = self.bn(bn_path)
+                y = y * g + b
+            else:
+                y = self.bn_exact(y, bn_path)
         if act == "relu":
-            y = jnp.maximum(y, 0.0)
+            y = jnp.maximum(y, jnp.zeros((), y.dtype))
         elif act == "leaky":
             y = _leaky(y)
         if next_path is not None and self.has(next_path):
             return _quant(y, self.s(next_path))
-        return y.astype(self.dtype)
+        if quantized and bn_path is None:
+            # Mirror the float path's conv-output rounding so downstream
+            # joins see the same dtype the flax forward would produce.
+            return y.astype(self.dtype)
+        return y
 
 
 def calibrate_sequential(
@@ -326,9 +361,7 @@ def _basic_block(ctx: ChainCtx, x, prefix: str, stride: int,
         )
     else:
         identity = x
-    out = jnp.maximum(
-        pre_residual.astype(jnp.float32) + identity.astype(jnp.float32), 0.0
-    ).astype(ctx.dtype)
+    out = jnp.maximum(pre_residual + identity.astype(jnp.float32), 0.0)
     return out, pre_residual
 
 
@@ -433,17 +466,12 @@ def _extra_stage(ctx: ChainCtx, x, prefix: str):
     q = ctx.run_layer(q, f"{bp}/conv2", padding=1, bn_path=f"{bp}/bn2",
                       act="relu", next_path=f"{bp}/conv3")
     pre = ctx.run_layer(q, f"{bp}/conv3", padding=0, bn_path=f"{bp}/bn3")
-    bottleneck = jnp.maximum(
-        pre.astype(jnp.float32) + x.astype(jnp.float32), 0.0
-    )
+    bottleneck = jnp.maximum(pre + x.astype(jnp.float32), 0.0)
 
     # stage bn applies to the bottleneck output; parallel 1x1 conv on x.
-    g, b = ctx.bn(f"{prefix}/bn")
-    bn_out = bottleneck * g + b
+    bn_out = ctx.bn_exact(bottleneck, f"{prefix}/bn")
     conv_out = ctx.run_layer(x, f"{prefix}/conv", padding=0)
-    return jnp.maximum(
-        conv_out.astype(jnp.float32) + bn_out, 0.0
-    ).astype(ctx.dtype)
+    return jnp.maximum(conv_out.astype(jnp.float32) + bn_out, 0.0)
 
 
 def prediction_head_chain(
@@ -471,8 +499,8 @@ def prediction_head_chain(
     mask = jnp.tanh(
         branch(
             x, n_mask, "prediction_head/mask_{}", "prediction_head/mask"
-        ).reshape(b, -1, n_prototype_masks).astype(jnp.float32)
-    )
+        ).reshape(b, -1, n_prototype_masks)
+    ).astype(jnp.float32)
     return (
         classification.astype(jnp.float32),
         box.astype(jnp.float32),
@@ -573,16 +601,16 @@ def _dla_basic_block(ctx: ChainCtx, x, prefix: str, stride: int, residual):
     out = ctx.run_layer(q, f"{prefix}/conv2", padding=1,
                         bn_path=f"{prefix}/bn2")
     residual = pad_to_match(residual, out.shape[1:3])
-    return jnp.maximum(
-        out.astype(jnp.float32) + residual.astype(jnp.float32), 0.0
-    ).astype(ctx.dtype)
+    return jnp.maximum(out + residual.astype(jnp.float32), 0.0)
 
 
 def _dla_root(ctx: ChainCtx, children, prefix: str):
-    x = jnp.concatenate([c.astype(ctx.dtype) for c in children], axis=-1)
+    x = jnp.concatenate(
+        [c.astype(jnp.float32) for c in children], axis=-1
+    )
     out = ctx.run_layer(x, f"{prefix}/conv", padding=0,
                         bn_path=f"{prefix}/bn")
-    return jnp.maximum(out.astype(jnp.float32), 0.0).astype(ctx.dtype)
+    return jnp.maximum(out, 0.0)
 
 
 def _dla_tree(ctx: ChainCtx, x, prefix: str, levels: int, in_ch: int,
@@ -695,7 +723,7 @@ def _ida_stage_chain(ctx: ChainCtx, layers, prefix: str, up_factors):
         joined = (
             upsampled.astype(jnp.float32)
             + layers[i - 1].astype(jnp.float32)
-        ).astype(ctx.dtype)
+        )
         layers[i] = ctx.run_layer(
             joined, f"{prefix}/node_{i}/conv", padding=1,
             bn_path=f"{prefix}/node_{i}/bn", act="relu",
@@ -924,8 +952,10 @@ def _yolo_pose_head_chain(ctx: ChainCtx, fpn_output, cfg):
 
     def out(path, reshape, tanh=False):
         y = ctx.run_layer(x, f"prediction_head/{path}", padding=1)
-        y = y.reshape(reshape).astype(jnp.float32)
-        return jnp.tanh(y) if tanh else y
+        y = y.reshape(reshape)
+        if tanh:
+            y = jnp.tanh(y)
+        return y.astype(jnp.float32)
 
     return (
         out("classification", (b, -1, cfg.n_classes + 1)),

@@ -264,3 +264,59 @@ def test_sequential_calibration_mean_mode_pins_gain():
     for path, g in gains.items():
         np.testing.assert_array_equal(g, np.ones_like(g)), path
     assert any(np.abs(c).max() > 0 for c in corrections.values())
+
+
+@pytest.mark.slow
+def test_yolact_chain_float_path_bit_exact_bf16():
+    """With no calibrated scales the chain IS the float serving path;
+    its dtype flow must replicate the flax forward bit-for-bit at bf16
+    (BN outputs f32 flowing unrounded, conv+bias outputs bf16, joins
+    promoted).  One extra bf16 rounding per boundary costs ~1.6e-3
+    decoded score p95 — the whole int8 parity budget — so this guards
+    exactness, not closeness."""
+    from tauv_vision_tpu.models.yolact import Yolact
+    from tauv_vision_tpu.serving.quantize_chain import yolact_chain_forward
+
+    cfg = _small_cfg()
+    model = Yolact(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    ref = model.apply(variables, x, train=False)
+    chain = yolact_chain_forward(cfg, variables, {}, dtype=jnp.bfloat16)(x)
+    for field in ("classification", "box_encoding", "mask_coeff",
+                  "mask_prototype"):
+        r = np.asarray(getattr(ref, field), np.float32)
+        c = np.asarray(getattr(chain, field), np.float32)
+        np.testing.assert_array_equal(r, c, err_msg=field)
+
+
+@pytest.mark.slow
+def test_dla34_chain_float_path_bit_exact_bf16():
+    from math import pi
+
+    from tauv_vision_tpu.configs import (
+        AngleConfig,
+        ObjectConfig,
+        ObjectConfigSet,
+    )
+    from tauv_vision_tpu.models.centerpoint_dla import CenterpointDLA34
+    from tauv_vision_tpu.serving.quantize_chain import dla34_chain_forward
+
+    oc = ObjectConfigSet(configs=(ObjectConfig(
+        id="sq", yaw=AngleConfig(train=False, modulo=2 * pi),
+        pitch=AngleConfig(train=False, modulo=2 * pi),
+        roll=AngleConfig(train=False, modulo=2 * pi),
+        train_depth=False, train_keypoints=False, keypoints=None),))
+    model = CenterpointDLA34(
+        object_config=oc, dtype=jnp.bfloat16, deform=False
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    ref = model.apply(variables, x, train=False)
+    chain = dla34_chain_forward(oc, variables, {}, dtype=jnp.bfloat16)(x)
+    for field in ("heatmap", "size", "offset"):
+        r = np.asarray(getattr(ref, field), np.float32)
+        c = np.asarray(getattr(chain, field), np.float32)
+        np.testing.assert_array_equal(r, c, err_msg=field)
