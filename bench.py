@@ -1360,11 +1360,58 @@ def main():
     else:
         cn_timed, yl_timed = cn_pipeline, yl_pipeline
 
-    cn_time = time_chained(cn_timed, cn_vars, frames)
-    yl_time = time_chained(yl_timed, yl_vars, frames)
+    # --fused: both nets + both decodes in ONE jitted graph with the
+    # 480->360 resize shared (serving/pipeline.make_combined_pipeline;
+    # bit-identical decoded outputs).  The deployed system runs both
+    # nodes on the same camera frames, so this is the production-shaped
+    # combined graph; unfused mode times the two dispatches separately
+    # and sums.
+    fused = "--fused" in sys.argv
+    fused_time = None
+    if fused:
+        import jax.numpy as jnp
 
-    # Combined: every frame goes through both nets end-to-end.
-    fps = batch_size / (cn_time + yl_time)
+        from tauv_vision_tpu.serving.pipeline import make_combined_pipeline
+
+        if chain:
+            from tauv_vision_tpu.serving.quantize_chain import (
+                dla34_chain_forward,
+                yolact_chain_forward,
+            )
+
+            cn_fwd = dla34_chain_forward(
+                cn_model.object_config, cn_vars, cn_scales,
+                corrections=cn_corr, gains=cn_gains,
+            )
+            yl_fwd = yolact_chain_forward(
+                yl_cfg, yl_vars, yl_scales, corrections=yl_corr,
+                gains=yl_gains,
+            )
+        elif int8:
+            raise SystemExit("--fused supports the chain and bf16 paths")
+        else:
+            cn_fwd = lambda img: cn_model.apply(  # noqa: E731
+                cn_vars, img, train=False
+            )
+            yl_fwd = lambda img: yl_model.apply(  # noqa: E731
+                yl_vars, img, train=False
+            )
+        combined = make_combined_pipeline(
+            cn_fwd, cn_cfg, yl_fwd, yl_cfg,
+            n_detections=10, score_threshold=0.6, top_k=20,
+            iou_threshold=0.5, confidence_threshold=0.5,
+        )
+        fused_time = time_chained(
+            lambda v, f: combined(f), None, frames
+        )
+        fps = batch_size / fused_time
+        cn_time = yl_time = None
+    else:
+        cn_time = time_chained(cn_timed, cn_vars, frames)
+        yl_time = time_chained(yl_timed, yl_vars, frames)
+
+        # Combined: every frame goes through both nets end-to-end.
+        fps = batch_size / (cn_time + yl_time)
 
     decode_p50 = time_decode(cn_model, cn_vars, cn_cfg, frames, "centernet")
 
@@ -1388,8 +1435,13 @@ def main():
             "mse_clip": mse if (chain and parity) else None,
             "bias_correct": bias_correct if (chain and parity) else None,
             "seq_correct": seq_correct if (chain and parity) else None,
-            "centernet_fps": round(batch_size / cn_time, 2),
-            "yolact_fps": round(batch_size / yl_time, 2),
+            "fused": fused,
+            "centernet_fps": (
+                round(batch_size / cn_time, 2) if cn_time else None
+            ),
+            "yolact_fps": (
+                round(batch_size / yl_time, 2) if yl_time else None
+            ),
             "decode_p50_ms": round(decode_p50 * 1e3, 3),
             "device": str(jax.devices()[0]),
         },

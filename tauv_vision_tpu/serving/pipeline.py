@@ -299,3 +299,60 @@ def back_project(
     x = (u - cx) / fx * z
     y = (v - cy) / fy * z
     return jnp.stack((x, y, z), axis=-1)
+
+
+def make_combined_pipeline(
+    cn_forward,
+    cn_model_config: CenternetModelConfig,
+    yl_forward,
+    yl_model_config,
+    n_detections: int = 10,
+    score_threshold: float = 0.6,
+    top_k: int = 20,
+    iou_threshold: float = 0.5,
+    confidence_threshold: float = 0.5,
+    dtype=jnp.bfloat16,
+    jit: bool = True,
+):
+    """Both serving nets on ONE camera batch in ONE jitted graph.
+
+    The deployed system runs both detector nodes on the same camera
+    topics (centernet_node.py:62-63, yolact_node.py:74-84), so the
+    production-shaped serving graph shares the 640x480 -> 640x360
+    bilinear resize between them, normalizes per-model, and runs both
+    forwards + decodes under a single dispatch.  The resize math is
+    ops/image.preprocess's (resize in [0, 255] float space, then
+    normalize), so decoded outputs are BIT-IDENTICAL to the separate
+    per-model pipelines; fusing removes the duplicated resize and lets
+    XLA schedule the two nets' gaps against each other.
+
+    ``cn_forward(img) -> Prediction`` and ``yl_forward(img) ->
+    YolactPrediction`` take normalized inputs (e.g. the chain-int8
+    forwards from serving/quantize_chain.py, or ``model.apply``
+    closures).  Returns ``fn(img_uint8) -> (Detections,
+    YolactDetections)``.
+    """
+    from tauv_vision_tpu.ops.image import normalize_image, resize_bilinear
+    from tauv_vision_tpu.serving.yolact_decode import decode_yolact
+
+    assert (cn_model_config.in_h, cn_model_config.in_w) == (
+        yl_model_config.in_h, yl_model_config.in_w,
+    ), "shared-resize fusion needs matching input sizes"
+    out_hw = (cn_model_config.in_h, cn_model_config.in_w)
+
+    def pipeline(img_uint8):
+        img = img_uint8.astype(jnp.float32)
+        img = jnp.moveaxis(img, -1, -3)
+        img = resize_bilinear(img, out_hw)
+        img = jnp.moveaxis(img, -3, -1)  # [..., H, W, C] in [0, 255]
+        cn_in = normalize_image(img, IMAGENET_MEAN, IMAGENET_STDDEV,
+                                dtype=dtype)
+        yl_in = normalize_image(img, yl_model_config.img_mean,
+                                yl_model_config.img_stddev, dtype=dtype)
+        cn_dets = decode(cn_forward(cn_in), cn_model_config,
+                         n_detections, score_threshold)
+        yl_dets = decode_yolact(yl_forward(yl_in), yl_model_config,
+                                top_k, iou_threshold, confidence_threshold)
+        return cn_dets, yl_dets
+
+    return jax.jit(pipeline) if jit else pipeline

@@ -16,8 +16,11 @@ from conv to conv:
   buffer is int8;
 - BatchNorm (inference = per-channel affine) folds into the epilogue
   multiplier/offset, removing the separate bf16 BN pass;
-- residual joins and feature taps, which the reference semantics keep in
-  full precision, stay bf16.
+- residual joins and feature taps keep the flax forward's exact dtype
+  flow (BN outputs f32, conv+bias outputs bf16, joins promoted): with
+  no calibrated scales the chain is BIT-EXACT vs the flax pipeline at
+  bf16 (tests/test_quantize_chain.py), so int8 rungs measure pure
+  quantization noise.
 
 Calibration scales come from ``serving.quantize.calibrate`` on the same
 model — module paths are identical, so cached scales transfer.  The
@@ -84,6 +87,47 @@ def _quant(x: jnp.ndarray, scale) -> jnp.ndarray:
     ).astype(jnp.int8)
 
 
+def _asym_offset_map(qk, z, out_hw, in_hw, strides, padding):
+    """Zero-point offset for an asymmetric int8 conv, border-exact.
+
+    x ~= s * (q - z) makes the accumulator owe sum(qk * z) per output —
+    but only over taps that landed IN BOUNDS: conv's zero padding
+    contributes q = 0 where the true activation is 0 (= s * (z - z)),
+    so padded taps owe nothing.  The per-tap validity is a separable
+    function of the output coordinate, so the offset is a tiny einsum
+    of static 0/1 masks with the per-tap zero-point sums — exact at the
+    borders, ~H*W*O*KK integer ops (noise next to the conv itself).
+    """
+    kh, kw = qk.shape[:2]
+    offtap = jnp.einsum(
+        "abco,c->abo", qk.astype(jnp.int32), jnp.asarray(z, jnp.int32)
+    )
+    masks = []
+    for k, out_d, in_d, stride, pad in (
+        (kh, out_hw[0], in_hw[0], strides[0], padding[0][0]),
+        (kw, out_hw[1], in_hw[1], strides[1], padding[1][0]),
+    ):
+        m = np.zeros((k, out_d), np.int32)
+        for ki in range(k):
+            pos = np.arange(out_d) * stride + ki - pad
+            m[ki] = ((pos >= 0) & (pos < in_d)).astype(np.int32)
+        masks.append(jnp.asarray(m))
+    return jnp.einsum("ay,bx,abo->yxo", masks[0], masks[1], offtap)
+
+
+def _quant_asym(x: jnp.ndarray, scale, zero) -> jnp.ndarray:
+    """Asymmetric int8: q = clip(round(x / s) + z, -128, 127), so
+    x ~= s * (q - z).  For ReLU inputs (min 0) z = -128 and the whole
+    256-level grid covers [0, max] — half the quantization step of the
+    symmetric grid, for free (the zero point folds into a constant
+    per-output offset on the accumulator, see run_layer)."""
+    s = jnp.asarray(scale, jnp.float32)
+    z = jnp.asarray(zero, jnp.float32)
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s) + z, -128, 127
+    ).astype(jnp.int8)
+
+
 def _bn_affine(params, stats) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Inference BatchNorm as y = g*x + b (per channel, f32)."""
     g = params["scale"].astype(jnp.float32) / jnp.sqrt(
@@ -112,13 +156,18 @@ class ChainCtx:
     def __init__(self, variables, scales: Dict[str, float],
                  dtype=jnp.bfloat16,
                  corrections: Optional[Dict[str, np.ndarray]] = None,
-                 gains: Optional[Dict[str, np.ndarray]] = None):
+                 gains: Optional[Dict[str, np.ndarray]] = None,
+                 ranges: Optional[Dict[str, tuple]] = None):
         self.params = variables["params"]
         self.stats = variables.get("batch_stats", {})
         self.scales = scales
         self.dtype = dtype
         self.corrections = corrections or {}
         self.gains = gains or {}
+        # {path: (min[C], max[C])} from quantize.calibrate_range —
+        # paths listed here quantize ASYMMETRICALLY (full 256-level
+        # grid; the zero point folds into the accumulator offset).
+        self.ranges = ranges or {}
         # Sequential-correction calibration hooks
         # (calibrate_sequential): pass A (no scales) captures each
         # calibrated conv's float pre-bias output map; pass B consumes
@@ -156,7 +205,17 @@ class ChainCtx:
         ) * mul + p["bias"].astype(jnp.float32)
 
     def has(self, path: str) -> bool:
-        return path in self.scales
+        return path in self.scales or path in self.ranges
+
+    def asym(self, path: str):
+        """(scale[C], zero_point[C]) for an asymmetric path; concrete
+        numpy at trace time so the zero offset bakes into the graph."""
+        mn, mx = self.ranges[path]
+        mn = np.asarray(mn, np.float64)
+        mx = np.asarray(mx, np.float64)
+        s = np.maximum(mx - mn, 1e-6) / 255.0
+        z = np.clip(-128.0 - np.round(mn / s), -128, 127)
+        return s.astype(np.float32), z.astype(np.int32)
 
     def run_layer(
         self,
@@ -196,10 +255,18 @@ class ChainCtx:
         if transpose:
             # Transposed convs stay bf16-dilated: measured on-chip, int8
             # never wins here (serving/quantize.py._should_quantize).
-            xf = (
-                inp.astype(jnp.float32) * self.s(path)
-                if inp.dtype == jnp.int8 else inp
-            ).astype(self.dtype)
+            if inp.dtype == jnp.int8:
+                if path in self.ranges:
+                    si, zi = self.asym(path)
+                    xf = (
+                        inp.astype(jnp.float32)
+                        - jnp.asarray(zi, jnp.float32)
+                    ) * jnp.asarray(si, jnp.float32)
+                else:
+                    xf = inp.astype(jnp.float32) * self.s(path)
+            else:
+                xf = inp
+            xf = xf.astype(self.dtype)
             flipped = jnp.flip(p["kernel"].astype(self.dtype), axis=(0, 1))
             y = jax.lax.conv_general_dilated(
                 xf, flipped, (1, 1), ((1, 2), (1, 2)), lhs_dilation=(2, 2),
@@ -207,20 +274,42 @@ class ChainCtx:
             )
         elif self.has(path):
             quantized = True
-            s_in = self.s(path)
-            q = inp if inp.dtype == jnp.int8 else _quant(inp, s_in)
-            if _is_per_channel(s_in):
+            if path in self.ranges:
+                # Asymmetric: x ~= s * (q - z).  The zero-point term is
+                # a CONSTANT per-output offset sum(qk * z) over the
+                # kernel's spatial x input-channel extent — one small
+                # integer reduction, subtracted from the accumulator.
+                s_in, z_in = self.asym(path)
+                q = (
+                    inp if inp.dtype == jnp.int8
+                    else _quant_asym(inp, s_in, z_in)
+                )
                 qk, w_scale = _wq(p["kernel"], in_scale=s_in)
-                deq = w_scale  # s_in folded into the weights
+                acc = jax.lax.conv_general_dilated(
+                    q, qk, window_strides=tuple(strides), padding=padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                off = _asym_offset_map(
+                    qk, z_in, acc.shape[1:3], q.shape[1:3],
+                    tuple(strides), padding,
+                )
+                y = (acc - off[None]).astype(jnp.float32) * w_scale
             else:
-                qk, w_scale = _wq(p["kernel"])
-                deq = s_in * w_scale
-            acc = jax.lax.conv_general_dilated(
-                q, qk, window_strides=tuple(strides), padding=padding,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            )
-            y = acc.astype(jnp.float32) * deq
+                s_in = self.s(path)
+                q = inp if inp.dtype == jnp.int8 else _quant(inp, s_in)
+                if _is_per_channel(s_in):
+                    qk, w_scale = _wq(p["kernel"], in_scale=s_in)
+                    deq = w_scale  # s_in folded into the weights
+                else:
+                    qk, w_scale = _wq(p["kernel"])
+                    deq = s_in * w_scale
+                acc = jax.lax.conv_general_dilated(
+                    q, qk, window_strides=tuple(strides), padding=padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                y = acc.astype(jnp.float32) * deq
             if path in self.gains:
                 y = y * jnp.asarray(self.gains[path], jnp.float32)
             if path in self.corrections:
@@ -286,6 +375,8 @@ class ChainCtx:
         elif act == "leaky":
             y = _leaky(y)
         if next_path is not None and self.has(next_path):
+            if next_path in self.ranges:
+                return _quant_asym(y, *self.asym(next_path))
             return _quant(y, self.s(next_path))
         if quantized and bn_path is None:
             # Mirror the float path's conv-output rounding so downstream
@@ -514,7 +605,7 @@ def prediction_head_chain(
 
 def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
                          dtype=jnp.bfloat16, corrections=None, gains=None,
-                         ctx=None):
+                         ranges=None, ctx=None):
     """Returns ``fn(img) -> YolactPrediction`` running the chain-int8
     YOLACT forward (models/yolact.py:50-116)."""
     from tauv_vision_tpu.models.yolact import YolactPrediction
@@ -523,7 +614,7 @@ def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
     cfg = model_config
     if ctx is None:
         ctx = ChainCtx(variables, scales, dtype=dtype,
-                       corrections=corrections, gains=gains)
+                       corrections=corrections, gains=gains, ranges=ranges)
     anchor = jnp.asarray(
         get_all_anchors(cfg.in_h, cfg.in_w, cfg.n_fpn_levels,
                         cfg.anchor_scales, cfg.anchor_aspect_ratios)
@@ -733,7 +824,8 @@ def _ida_stage_chain(ctx: ChainCtx, layers, prefix: str, up_factors):
 
 def dla34_chain_forward(object_config, variables,
                         scales: Dict[str, float], dtype=jnp.bfloat16,
-                        corrections=None, gains=None, ctx=None):
+                        corrections=None, gains=None, ranges=None,
+                        ctx=None):
     """Chain-int8 CenterpointDLA34 forward (plain-conv IDA, the bench
     serving configuration) -> Prediction (models/centerpoint_dla.py
     DLASeg + CenterpointDLA34)."""
@@ -743,7 +835,7 @@ def dla34_chain_forward(object_config, variables,
 
     if ctx is None:
         ctx = ChainCtx(variables, scales, dtype=dtype,
-                       corrections=corrections, gains=gains)
+                       corrections=corrections, gains=gains, ranges=ranges)
     oc = object_config
     head_channels = get_head_channels(oc)
     first_level = 2  # down_ratio 4
@@ -972,7 +1064,8 @@ def _yolo_pose_head_chain(ctx: ChainCtx, fpn_output, cfg):
 
 def yolo_pose_chain_forward(model_config, variables,
                             scales: Dict[str, float], dtype=jnp.bfloat16,
-                            corrections=None, gains=None, ctx=None):
+                            corrections=None, gains=None, ranges=None,
+                            ctx=None):
     """Chain-int8 YoloPose forward (models/yolo_pose.py YoloPose;
     reference intent yolo_pose/model/model.py:20-68).  Requires the
     ResNet-18 backbone (the bench/serving configuration)."""
@@ -986,7 +1079,7 @@ def yolo_pose_chain_forward(model_config, variables,
         )
     if ctx is None:
         ctx = ChainCtx(variables, scales, dtype=dtype,
-                       corrections=corrections, gains=gains)
+                       corrections=corrections, gains=gains, ranges=ranges)
     anchor = jnp.asarray(
         get_all_anchors(cfg.in_h, cfg.in_w, cfg.n_fpn_levels,
                         cfg.anchor_scales, cfg.anchor_aspect_ratios)
