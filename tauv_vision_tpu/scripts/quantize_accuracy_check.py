@@ -192,6 +192,21 @@ SWEEP_LADDER = (
      dict(per_channel=True, bias_correct=False, asym=True,
           strip=("head_", "level0_", "level1_", "level2",
                  "ida_up", "dla_up"))),
+    # Ninth ladder: GPTQ-style error-compensated weight rounding
+    # (quantize.calibrate_gptq) on top of asym activations — the two
+    # noise terms are independent, so halving each roughly halves the
+    # decoded delta.
+    ("gptq+asym+early0123+updown",
+     dict(per_channel=True, bias_correct=False, asym=True, gptq=True,
+          strip=("head_", "level0_", "level1_", "level2", "level3",
+                 "ida_up", "dla_up"))),
+    ("gptq+asym+early012+updown",
+     dict(per_channel=True, bias_correct=False, asym=True, gptq=True,
+          strip=("head_", "level0_", "level1_", "level2",
+                 "ida_up", "dla_up"))),
+    ("gptq+asym+early01+updown",
+     dict(per_channel=True, bias_correct=False, asym=True, gptq=True,
+          strip=("head_", "level0_", "level1_", "ida_up", "dla_up"))),
     # Pseudo-rung: the flax bf16 serving pipeline itself (no chain, no
     # int8).  Meaningful with --baseline f32: measures the bf16
     # serving path's own decoded drift vs the f32 reference — the
@@ -215,6 +230,7 @@ def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
     from tauv_vision_tpu.serving.quantize import (
         calibrate,
         calibrate_bias_correction,
+        calibrate_gptq,
         calibrate_range,
         refine_scales_mse,
         strip_scales,
@@ -250,6 +266,11 @@ def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
         ranges = None
         if cfg.get("asym"):
             ranges = {k: v for k, v in ranges_all.items() if k in scales}
+        wq = None
+        if cfg.get("gptq"):
+            print(f"  GPTQ weight rounding for {name}...", flush=True)
+            fold = ranges if ranges is not None else scales
+            wq = calibrate_gptq(raw_pipeline, cal_frames, fold)
         corr = gains = None
         if cfg["bias_correct"]:
             # computed against THIS rung's scales (corrections depend on
@@ -270,7 +291,7 @@ def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
             dets = collect(jax.jit(raw_pipeline))
         else:
             print(f"rung {name}: {len(scales)} int8 convs...", flush=True)
-            dets = collect(make_chain_fn(scales, corr, gains, ranges))
+            dets = collect(make_chain_fn(scales, corr, gains, ranges, wq))
         stats = pair_deltas(dets_bf16, dets)
         stats["name"] = name
         stats["int8_convs"] = len(scales)
@@ -674,10 +695,11 @@ def main(argv=None):
         dla34_chain_forward,
     )
 
-    def make_chain_fn(scales, corrections=None, gains=None, ranges=None):
+    def make_chain_fn(scales, corrections=None, gains=None, ranges=None,
+                      wq_override=None):
         chain_forward = dla34_chain_forward(
             object_config, trained, scales, corrections=corrections,
-            gains=gains, ranges=ranges,
+            gains=gains, ranges=ranges, wq_override=wq_override,
         )
 
         def chain_pipeline(frames_uint8):

@@ -157,7 +157,8 @@ class ChainCtx:
                  dtype=jnp.bfloat16,
                  corrections: Optional[Dict[str, np.ndarray]] = None,
                  gains: Optional[Dict[str, np.ndarray]] = None,
-                 ranges: Optional[Dict[str, tuple]] = None):
+                 ranges: Optional[Dict[str, tuple]] = None,
+                 wq_override: Optional[Dict[str, tuple]] = None):
         self.params = variables["params"]
         self.stats = variables.get("batch_stats", {})
         self.scales = scales
@@ -168,6 +169,10 @@ class ChainCtx:
         # paths listed here quantize ASYMMETRICALLY (full 256-level
         # grid; the zero point folds into the accumulator offset).
         self.ranges = ranges or {}
+        # {path: (qk int8, w_scale)} from quantize.calibrate_gptq —
+        # error-compensated weight rounding in the folded space,
+        # replacing _wq's round-to-nearest for those paths.
+        self.wq_override = wq_override or {}
         # Sequential-correction calibration hooks
         # (calibrate_sequential): pass A (no scales) captures each
         # calibrated conv's float pre-bias output map; pass B consumes
@@ -284,7 +289,12 @@ class ChainCtx:
                     inp if inp.dtype == jnp.int8
                     else _quant_asym(inp, s_in, z_in)
                 )
-                qk, w_scale = _wq(p["kernel"], in_scale=s_in)
+                if path in self.wq_override:
+                    qk, w_scale = self.wq_override[path]
+                    qk = jnp.asarray(qk)
+                    w_scale = jnp.asarray(w_scale)
+                else:
+                    qk, w_scale = _wq(p["kernel"], in_scale=s_in)
                 acc = jax.lax.conv_general_dilated(
                     q, qk, window_strides=tuple(strides), padding=padding,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -299,7 +309,11 @@ class ChainCtx:
                 s_in = self.s(path)
                 q = inp if inp.dtype == jnp.int8 else _quant(inp, s_in)
                 if _is_per_channel(s_in):
-                    qk, w_scale = _wq(p["kernel"], in_scale=s_in)
+                    if path in self.wq_override:
+                        qk = jnp.asarray(self.wq_override[path][0])
+                        w_scale = jnp.asarray(self.wq_override[path][1])
+                    else:
+                        qk, w_scale = _wq(p["kernel"], in_scale=s_in)
                     deq = w_scale  # s_in folded into the weights
                 else:
                     qk, w_scale = _wq(p["kernel"])
@@ -605,7 +619,7 @@ def prediction_head_chain(
 
 def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
                          dtype=jnp.bfloat16, corrections=None, gains=None,
-                         ranges=None, ctx=None):
+                         ranges=None, wq_override=None, ctx=None):
     """Returns ``fn(img) -> YolactPrediction`` running the chain-int8
     YOLACT forward (models/yolact.py:50-116)."""
     from tauv_vision_tpu.models.yolact import YolactPrediction
@@ -614,7 +628,8 @@ def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
     cfg = model_config
     if ctx is None:
         ctx = ChainCtx(variables, scales, dtype=dtype,
-                       corrections=corrections, gains=gains, ranges=ranges)
+                       corrections=corrections, gains=gains, ranges=ranges,
+                       wq_override=wq_override)
     anchor = jnp.asarray(
         get_all_anchors(cfg.in_h, cfg.in_w, cfg.n_fpn_levels,
                         cfg.anchor_scales, cfg.anchor_aspect_ratios)
@@ -825,7 +840,7 @@ def _ida_stage_chain(ctx: ChainCtx, layers, prefix: str, up_factors):
 def dla34_chain_forward(object_config, variables,
                         scales: Dict[str, float], dtype=jnp.bfloat16,
                         corrections=None, gains=None, ranges=None,
-                        ctx=None):
+                        wq_override=None, ctx=None):
     """Chain-int8 CenterpointDLA34 forward (plain-conv IDA, the bench
     serving configuration) -> Prediction (models/centerpoint_dla.py
     DLASeg + CenterpointDLA34)."""
@@ -835,7 +850,8 @@ def dla34_chain_forward(object_config, variables,
 
     if ctx is None:
         ctx = ChainCtx(variables, scales, dtype=dtype,
-                       corrections=corrections, gains=gains, ranges=ranges)
+                       corrections=corrections, gains=gains, ranges=ranges,
+                       wq_override=wq_override)
     oc = object_config
     head_channels = get_head_channels(oc)
     first_level = 2  # down_ratio 4
@@ -1065,7 +1081,7 @@ def _yolo_pose_head_chain(ctx: ChainCtx, fpn_output, cfg):
 def yolo_pose_chain_forward(model_config, variables,
                             scales: Dict[str, float], dtype=jnp.bfloat16,
                             corrections=None, gains=None, ranges=None,
-                            ctx=None):
+                            wq_override=None, ctx=None):
     """Chain-int8 YoloPose forward (models/yolo_pose.py YoloPose;
     reference intent yolo_pose/model/model.py:20-68).  Requires the
     ResNet-18 backbone (the bench/serving configuration)."""
@@ -1079,7 +1095,8 @@ def yolo_pose_chain_forward(model_config, variables,
         )
     if ctx is None:
         ctx = ChainCtx(variables, scales, dtype=dtype,
-                       corrections=corrections, gains=gains, ranges=ranges)
+                       corrections=corrections, gains=gains, ranges=ranges,
+                       wq_override=wq_override)
     anchor = jnp.asarray(
         get_all_anchors(cfg.in_h, cfg.in_w, cfg.n_fpn_levels,
                         cfg.anchor_scales, cfg.anchor_aspect_ratios)
