@@ -349,6 +349,24 @@ def main(argv=None):
                              "stages) and report decoded deltas per rung")
     parser.add_argument("--rungs", nargs="*", default=None,
                         help="subset of SWEEP_LADDER rung names to run")
+    parser.add_argument("--qat-steps", type=int, default=0,
+                        help="QAT distillation fine-tuning (serving/qat.py): "
+                             "fine-tune a fake-quantized copy of the model "
+                             "to match the ORIGINAL model's outputs, then "
+                             "report the int8 chain's decoded deltas vs the "
+                             "original bf16 baseline")
+    parser.add_argument("--qat-lr", type=float, default=2e-5)
+    parser.add_argument("--qat-strip", default="head_",
+                        help="comma-separated path substrings kept bf16 "
+                             "during QAT and in the evaluated chain "
+                             "(default: output heads only — the full-speed "
+                             "serving layout)")
+    parser.add_argument("--qat-size-weight", type=float, default=1.0,
+                        help="distillation loss weight on the size head")
+    parser.add_argument("--qat-save", default=None,
+                        help="save QAT fine-tuned variables (pickle)")
+    parser.add_argument("--qat-load", default=None,
+                        help="skip fine-tuning, load QAT variables")
     parser.add_argument("--baseline", choices=("bf16", "f32"),
                         default="bf16",
                         help="float reference for the decoded-delta "
@@ -696,9 +714,10 @@ def main(argv=None):
     )
 
     def make_chain_fn(scales, corrections=None, gains=None, ranges=None,
-                      wq_override=None):
+                      wq_override=None, variables=None):
         chain_forward = dla34_chain_forward(
-            object_config, trained, scales, corrections=corrections,
+            object_config, variables if variables is not None else trained,
+            scales, corrections=corrections,
             gains=gains, ranges=ranges, wq_override=wq_override,
         )
 
@@ -717,6 +736,85 @@ def main(argv=None):
         batch = jnp.concatenate(cal_frames, axis=0)
         return calibrate_sequential(build_forward, trained, scales, batch,
                                     mode=mode)
+
+    if args.qat_steps or args.qat_load:
+        import pickle
+
+        from tauv_vision_tpu.serving.qat import qat_distill
+
+        strip = tuple(s for s in args.qat_strip.split(",") if s)
+        print(f"calibrating per-channel scales (bf16 tail: {strip})...",
+              flush=True)
+        scales = strip_scales(
+            calibrate(raw_pipeline, cal_frames, per_channel=True), strip
+        )
+
+        if args.qat_load:
+            with open(args.qat_load, "rb") as fp:
+                qat_vars = jax.tree_util.tree_map(
+                    jnp.asarray, pickle.load(fp)
+                )
+            print(f"loaded QAT variables from {args.qat_load}", flush=True)
+        else:
+            qat_rng = np.random.default_rng(2027)
+
+            def qat_batches():
+                while True:
+                    img, _ = generate_square_batch(
+                        qat_rng, args.batch_size, square_cfg
+                    )
+                    frames = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+                    yield jnp.asarray(frames).astype(jnp.float32) / 255.0
+
+            print(f"QAT distillation: {args.qat_steps} steps, "
+                  f"{len(scales)} int8 convs, lr {args.qat_lr}...",
+                  flush=True)
+            qat_vars = qat_distill(
+                model, trained, scales, qat_batches(),
+                steps=args.qat_steps, lr=args.qat_lr,
+                leaf_weights={"size": args.qat_size_weight},
+            )
+            if args.qat_save:
+                host = jax.tree_util.tree_map(np.asarray, qat_vars)
+                with open(args.qat_save, "wb") as fp:
+                    pickle.dump(host, fp)
+                print(f"saved QAT variables to {args.qat_save}", flush=True)
+
+        print(f"evaluating QAT chain ({len(scales)} int8 convs) vs "
+              "ORIGINAL bf16 baseline...", flush=True)
+        dets_qat = collect(make_chain_fn(scales, variables=qat_vars))
+        stats = (pair_deltas_kp if args.keypoints else pair_deltas)(
+            dets_bf16, dets_qat
+        )
+        result = {
+            "mode": "qat",
+            "qat_steps": args.qat_steps,
+            "qat_lr": args.qat_lr,
+            "qat_strip": strip,
+            "int8_convs": len(scales),
+            "n_eval_samples": len(truths),
+            **stats,
+        }
+        if not args.keypoints:
+            from tauv_vision_tpu.eval.detection_eval import (
+                average_precision,
+                iou_match,
+                precision_recall_curve,
+            )
+
+            def ap_of(dets):
+                _, precision, recall = precision_recall_curve(
+                    dets, truths, iou_match(0.5)
+                )
+                return round(average_precision(precision, recall), 4)
+
+            result["bf16_ap_iou0.5"] = ap_of(dets_bf16)
+            result["qat_int8_ap_iou0.5"] = ap_of(dets_qat)
+        print(json.dumps(result, indent=2))
+        if args.out:
+            with open(args.out, "w") as fp:
+                json.dump(result, fp, indent=2)
+        return result
 
     if args.sweep:
         return _run_sweep(
