@@ -13,6 +13,7 @@ from math import pi
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tauv_vision_tpu.configs import (
     AngleConfig,
@@ -30,6 +31,7 @@ from tauv_vision_tpu.serving.pipeline import (
 )
 
 
+@pytest.mark.slow  # three full-graph CPU compiles (~2.7 min)
 def test_fused_matches_separate_pipelines():
     oc = ObjectConfigSet(
         configs=(
