@@ -45,7 +45,8 @@ def _enable_compilation_cache():
 
 
 def build_centernet(deform: bool = True, dcn_impl: str = "pallas",
-                    dcn_max_offset: float = 3, dcn_bound: bool = False):
+                    dcn_max_offset: float = 3, dcn_bound: bool = False,
+                    early_pack: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -87,6 +88,7 @@ def build_centernet(deform: bool = True, dcn_impl: str = "pallas",
         object_config=object_config, dtype=jnp.bfloat16, deform=deform,
         dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
         offset_bound=dcn_max_offset if dcn_bound else None,
+        early_pack=early_pack,
     )
     img = jnp.zeros((1, BENCH_H, BENCH_W, 3), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, img, train=False))(
@@ -1186,6 +1188,14 @@ def main():
     # radii shrink the per-tap shift window — r=0.5 needs 3x3 instead of
     # r=1's 4x4).
     dcn_bound = "--dcn-bound" in sys.argv
+    # --early-pack G: batch-group channel packing for the DLA-34 early
+    # trunk (stem/level0/level1 computed G images per conv via
+    # block-diagonal kernels; models/centerpoint_dla._PackedConv).
+    # Numerically the unpacked forward up to conv accumulation order;
+    # measured win: scripts/early_pack_probe.py.
+    early_pack = 0
+    if "--early-pack" in sys.argv:
+        early_pack = int(sys.argv[sys.argv.index("--early-pack") + 1])
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (batch_size, BENCH_H, BENCH_W, 3),
@@ -1198,7 +1208,7 @@ def main():
 
     cn_pipeline, cn_vars, cn_model, cn_cfg, cn_raw = build_centernet(
         deform=deform, dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
-        dcn_bound=dcn_bound,
+        dcn_bound=dcn_bound, early_pack=early_pack,
     )
     yl_pipeline, yl_vars, yl_model, yl_cfg, yl_raw = build_yolact()
 
@@ -1452,6 +1462,7 @@ def main():
                  else ("chain-parity" if parity else "chain"))
                 if chain else "per-layer"
             ) if int8 else None,
+            "early_pack": early_pack or None,
             "bf16_tail": list(bf16_tail) if (chain and parity) else None,
             "mse_clip": mse if (chain and parity) else None,
             "bias_correct": bias_correct if (chain and parity) else None,

@@ -45,6 +45,95 @@ def _bn(train: bool, name: str) -> nn.BatchNorm:
     )
 
 
+def _pack_batch(x: jnp.ndarray, g: int) -> jnp.ndarray:
+    """[B,H,W,C] -> [B/g,H,W,g*C]: image i of each g-group occupies
+    channel block i."""
+    b, h, w, c = x.shape
+    return (
+        x.reshape(b // g, g, h, w, c)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(b // g, h, w, g * c)
+    )
+
+
+def _unpack_batch(x: jnp.ndarray, g: int) -> jnp.ndarray:
+    b, h, w, gc = x.shape
+    return (
+        x.reshape(b, h, w, g, gc // g)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(b * g, h, w, gc // g)
+    )
+
+
+def _block_diag_kernel(k: jnp.ndarray, g: int) -> jnp.ndarray:
+    """[kh,kw,ci,co] -> [kh,kw,g*ci,g*co] with k repeated on the block
+    diagonal; cross-image blocks are structural zeros."""
+    kh, kw, ci, co = k.shape
+    eye = jnp.eye(g, dtype=k.dtype)
+    kp = jnp.einsum("hwio,gk->hwgiko", k, eye)
+    return kp.reshape(kh, kw, g * ci, g * co)
+
+
+class _PackedConv(nn.Module):
+    """3x3/7x7 conv over batch-group channel-packed activations.
+
+    The parameter is the ORIGINAL [kh,kw,cin,cout] kernel (same name,
+    shape, and init as the nn.Conv it replaces, so checkpoints and the
+    DLA-34 importer are unaffected); at apply time it is expanded to
+    block-diagonal [kh,kw,g*cin,g*cout] so one conv computes ``pack``
+    images with full-width MXU tiles.  The 16/32-channel early levels
+    otherwise waste the 128-lane MXU on both contraction and output
+    padding (~8% utilization, scripts/early_conv_probe.py); the
+    structural zero cross-image taps cost MACs those padded tiles were
+    already paying for (scripts/early_pack_probe.py)."""
+
+    features: int
+    kernel: int
+    pack: int
+    stride: int = 1
+    pad: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1] // self.pack
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, cin, self.features), jnp.float32,
+        )
+        kp = _block_diag_kernel(k, self.pack).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kp, (self.stride, self.stride),
+            [(self.pad, self.pad)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class _PackedAffineBN(nn.Module):
+    """Inference BatchNorm over channel-packed activations: the (C,)
+    scale/bias/running stats (same names and shapes as nn.BatchNorm)
+    are tiled ``pack`` times.  Mirrors flax's normalization formula and
+    f32 dtype flow so the packed forward is numerically the unpacked
+    one up to conv accumulation order."""
+
+    pack: int
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // self.pack
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        y = x.astype(jnp.float32) - jnp.tile(mean.value, self.pack)
+        y = y * jax.lax.rsqrt(jnp.tile(var.value, self.pack) + BN_EPS)
+        return y * jnp.tile(scale, self.pack) + jnp.tile(bias, self.pack)
+
+
 class BasicBlock(nn.Module):
     """conv3x3(s)-bn-relu-conv3x3-bn (+ supplied residual) - relu
     (centerpoint_dla.py:30-59); residual is padded to match."""
@@ -172,38 +261,76 @@ class DLATrunk(nn.Module):
     levels: Sequence[int] = DLA34_LEVELS
     channels: Sequence[int] = DLA34_CHANNELS
     stem_s2d: int = 0
+    early_pack: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> List[jnp.ndarray]:
-        if self.stem_s2d > 1:
-            from tauv_vision_tpu.models.layers import S2DStemConv
-
-            x = S2DStemConv(
-                self.channels[0], 7, stride=1, f=self.stem_s2d,
-                dtype=self.dtype, name="base_conv",
-            )(img)
+        pack = self.early_pack
+        if (
+            pack > 1 and not train and self.stem_s2d <= 1
+            and img.shape[0] % pack == 0
+        ):
+            # Batch-group channel packing for the MXU-starved early
+            # levels (stem + level0 + level1; their outputs feed
+            # nothing downstream of level2, so the single unpack at the
+            # stride-2 level1 output is the only real transpose).
+            # Parameters are shared with the unpacked path (same
+            # names/shapes); see _PackedConv/_PackedAffineBN.
+            x = _pack_batch(img, pack)
+            x = _PackedConv(
+                self.channels[0], 7, pack, pad=3, dtype=self.dtype,
+                name="base_conv",
+            )(x)
+            x = nn.relu(_PackedAffineBN(pack, name="base_bn")(x))
+            outputs = []
+            for level_i in (0, 1):
+                stride = 1 if level_i == 0 else 2
+                for conv_i in range(self.levels[level_i]):
+                    x = _PackedConv(
+                        self.channels[level_i], 3, pack,
+                        stride=stride if conv_i == 0 else 1, pad=1,
+                        dtype=self.dtype,
+                        name=f"level{level_i}_conv{conv_i}",
+                    )(x)
+                    x = nn.relu(_PackedAffineBN(
+                        pack, name=f"level{level_i}_bn{conv_i}"
+                    )(x))
+                # Unpacked view; XLA dead-code-eliminates the level0
+                # transpose (nothing consumes levels[:2] downstream).
+                outputs.append(_unpack_batch(x, pack))
+            x = outputs[-1]
         else:
-            x = nn.Conv(
-                self.channels[0], (7, 7), padding=3, use_bias=False,
-                dtype=self.dtype, name="base_conv",
-            )(img)
-        x = nn.relu(_bn(train, "base_bn")(x))
+            if self.stem_s2d > 1:
+                from tauv_vision_tpu.models.layers import S2DStemConv
 
-        outputs = []
-
-        # level0 / level1: plain conv levels.
-        for level_i in (0, 1):
-            stride = 1 if level_i == 0 else 2
-            for conv_i in range(self.levels[level_i]):
+                x = S2DStemConv(
+                    self.channels[0], 7, stride=1, f=self.stem_s2d,
+                    dtype=self.dtype, name="base_conv",
+                )(img)
+            else:
                 x = nn.Conv(
-                    self.channels[level_i], (3, 3),
-                    strides=(stride if conv_i == 0 else 1,) * 2,
-                    padding=1, use_bias=False, dtype=self.dtype,
-                    name=f"level{level_i}_conv{conv_i}",
-                )(x)
-                x = nn.relu(_bn(train, f"level{level_i}_bn{conv_i}")(x))
-            outputs.append(x)
+                    self.channels[0], (7, 7), padding=3, use_bias=False,
+                    dtype=self.dtype, name="base_conv",
+                )(img)
+            x = nn.relu(_bn(train, "base_bn")(x))
+
+            outputs = []
+
+            # level0 / level1: plain conv levels.
+            for level_i in (0, 1):
+                stride = 1 if level_i == 0 else 2
+                for conv_i in range(self.levels[level_i]):
+                    x = nn.Conv(
+                        self.channels[level_i], (3, 3),
+                        strides=(stride if conv_i == 0 else 1,) * 2,
+                        padding=1, use_bias=False, dtype=self.dtype,
+                        name=f"level{level_i}_conv{conv_i}",
+                    )(x)
+                    x = nn.relu(
+                        _bn(train, f"level{level_i}_bn{conv_i}")(x)
+                    )
+                outputs.append(x)
 
         # level2..5: trees.
         for level_i in (2, 3, 4, 5):
@@ -465,6 +592,7 @@ class DLASeg(nn.Module):
     dcn_max_offset: float = 3
     offset_bound: Optional[float] = None
     stem_s2d: int = 0
+    early_pack: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -472,7 +600,8 @@ class DLASeg(nn.Module):
         first_level = int(np.log2(self.down_ratio))
 
         levels = DLATrunk(
-            stem_s2d=self.stem_s2d, dtype=self.dtype, name="base"
+            stem_s2d=self.stem_s2d, early_pack=self.early_pack,
+            dtype=self.dtype, name="base"
         )(img, train=train)
 
         channels = list(DLA34_CHANNELS[first_level:])
@@ -523,6 +652,7 @@ class CenterpointDLA34(nn.Module):
     dcn_max_offset: float = 3
     offset_bound: Optional[float] = None
     stem_s2d: int = 0
+    early_pack: int = 0
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> Prediction:
@@ -543,6 +673,7 @@ class CenterpointDLA34(nn.Module):
                 dcn_max_offset=self.dcn_max_offset,
                 offset_bound=self.offset_bound,
                 stem_s2d=self.stem_s2d,
+                early_pack=self.early_pack,
                 dtype=self.dtype,
                 name="model",
             )(img, train=train)

@@ -380,6 +380,11 @@ def main(argv=None):
                              "keypoint positions/scores (decode_keypoints, "
                              "the centernet node's full configuration) "
                              "between bf16 and chain-int8")
+    parser.add_argument("--early-pack", type=int, default=0,
+                        help="decoded-delta check for batch-group channel "
+                             "packing (models/centerpoint_dla early_pack): "
+                             "packed bf16 pipeline vs the unpacked bf16 "
+                             "serving path, same trained variables")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
     if args.keypoints and not args.sweep:
@@ -810,6 +815,36 @@ def main(argv=None):
 
             result["bf16_ap_iou0.5"] = ap_of(dets_bf16)
             result["qat_int8_ap_iou0.5"] = ap_of(dets_qat)
+        print(json.dumps(result, indent=2))
+        if args.out:
+            with open(args.out, "w") as fp:
+                json.dump(result, fp, indent=2)
+        return result
+
+    if args.early_pack:
+        g = args.early_pack
+        model_pack = CenterpointDLA34(
+            object_config=object_config, dtype=jnp.bfloat16, deform=False,
+            early_pack=g,
+        )
+
+        def pack_pipeline(frames_uint8):
+            img = frames_uint8.astype(jnp.bfloat16) / 255.0
+            prediction = model_pack.apply(trained, img, train=False)
+            return decode_fn(prediction)
+
+        print(f"decoding early-pack g={g} bf16 vs unpacked bf16...",
+              flush=True)
+        dets_pack = collect(jax.jit(pack_pipeline))
+        stats = (pair_deltas_kp if args.keypoints else pair_deltas)(
+            dets_bf16, dets_pack
+        )
+        result = {
+            "mode": "early_pack",
+            "early_pack": g,
+            "n_eval_samples": len(truths),
+            **stats,
+        }
         print(json.dumps(result, indent=2))
         if args.out:
             with open(args.out, "w") as fp:
