@@ -1369,6 +1369,11 @@ def main():
         )
         cn_timed = lambda v, f: cn_q(f)  # noqa: E731
         yl_timed = lambda v, f: yl_q(f)  # noqa: E731
+        if north_star:
+            # North-star CN = the certified bf16 float path (see the
+            # fused branch below); in unfused mode time that pipeline,
+            # not the chain.
+            cn_timed = cn_pipeline
     elif int8:
         cn_q, n_cn = quantize_pipeline(
             cn_raw, cn_vars, frames, f"centernet_b{batch_size}"
@@ -1389,7 +1394,14 @@ def main():
     # nodes on the same camera frames, so this is the production-shaped
     # combined graph; unfused mode times the two dispatches separately
     # and sums.
-    fused = "--fused" in sys.argv or north_star
+    # --no-fuse: measure the two nets as separate dispatches and sum
+    # (the methodology of every other combined row).  The ONE-graph
+    # fusion is the default for --north-star; measured on this chip the
+    # fused dual-net graph runs ~9% below the sum of its parts (layout/
+    # scheduling interactions absorb the CN head-fusion gain), so both
+    # numbers are recorded.
+    fused = ("--fused" in sys.argv or north_star) \
+        and "--no-fuse" not in sys.argv
     fused_time = None
     if fused:
         import jax.numpy as jnp

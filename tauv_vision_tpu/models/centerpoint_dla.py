@@ -134,6 +134,27 @@ class _PackedAffineBN(nn.Module):
         return y * jnp.tile(scale, self.pack) + jnp.tile(bias, self.pack)
 
 
+class _ConvParams(nn.Module):
+    """Parameters of an nn.Conv (same names, shapes, inits) without the
+    conv: lets DLASeg fuse the per-head convs into one dispatch while
+    keeping the per-head parameter tree (checkpoints, importer)."""
+
+    shape: Tuple[int, ...]  # [kh, kw, c_in, features]
+    bias_init_value: float = 0.0
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape,
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.constant(self.bias_init_value),
+            (self.shape[-1],), jnp.float32,
+        )
+        return kernel, bias
+
+
 class BasicBlock(nn.Module):
     """conv3x3(s)-bn-relu-conv3x3-bn (+ supplied residual) - relu
     (centerpoint_dla.py:30-59); residual is padded to match."""
@@ -484,11 +505,14 @@ class DepthwiseUpsample(nn.Module):
 
         kernel = self.param("kernel", init, (k, k, 1, c), jnp.float32)
 
-        # Dilated depthwise correlation.  The zero-free phase
-        # decomposition (ops/conv_transpose.py, feature_group_count=c)
-        # is exact but measured SLOWER end-to-end (CenterNet 2748 ->
-        # 2141 fps): the phase concat + depth-to-space layout pass costs
-        # more than the dilation zeros, same as the dense protonet case.
+        # Dilated depthwise correlation.  Lowering alternatives are
+        # measured dead ends at every factor: the zero-free phase form
+        # wins standalone for f=4 (37x, scripts/upsample_probe.py) but
+        # LOSES 15% of whole-model fps in context (CN 2325 -> 1986 at
+        # batch 128) — its depth-to-space forces a layout change on the
+        # surrounding graph — and loses standalone for f=2 (depth-to-
+        # space pass > 4x dilation zeros; the round-2 all-phase sweep's
+        # regression, CN 2748 -> 2141).
         pad = k - 1 - f // 2
         flipped = jnp.flip(kernel, axis=(0, 1)).astype(self.dtype)
         return jax.lax.conv_general_dilated(
@@ -593,6 +617,7 @@ class DLASeg(nn.Module):
     offset_bound: Optional[float] = None
     stem_s2d: int = 0
     early_pack: int = 0
+    fuse_heads: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -623,20 +648,69 @@ class DLASeg(nn.Module):
         )(y, train=train)
         features = y[-1]
 
-        outputs = []
+        if not self.fuse_heads:
+            outputs = []
+            for head_i, n_out in enumerate(self.head_channels):
+                bias_init = (
+                    -2.19 if head_i in self.heatmap_head_indices else 0.0
+                )
+                h = nn.Conv(
+                    self.head_conv, (3, 3), padding=1, dtype=self.dtype,
+                    name=f"head_{head_i}_conv",
+                )(features)
+                h = nn.relu(h)
+                h = nn.Conv(
+                    n_out, (1, 1),
+                    bias_init=nn.initializers.constant(bias_init),
+                    dtype=self.dtype, name=f"head_{head_i}_out",
+                )(h)
+                outputs.append(h.astype(jnp.float32))
+            return outputs
+
+        # Fused heads (opt-in, measured SLOWER): one conv with the
+        # kernels concatenated along the output dim computes every
+        # head's 3x3 in a single pass, bit-identical per output channel
+        # (parameter names/shapes/inits exactly match the per-head
+        # nn.Conv ones).  An interleaved A/B on chip
+        # (scripts/heads_ab_probe.py, batch 128, 4 rounds) measured it
+        # 0.95x — XLA already streams the shared input well and the
+        # [B,90,160,n*256] intermediate has a worse layout — so the
+        # per-head path stays the default; a single-shot +12.7% that
+        # motivated this was chip drift (+-9% session variance).
+        conv_ks, conv_bs, out_ks, out_bs = [], [], [], []
+        c_in = features.shape[-1]
         for head_i, n_out in enumerate(self.head_channels):
             bias_init = -2.19 if head_i in self.heatmap_head_indices else 0.0
-            h = nn.Conv(
-                self.head_conv, (3, 3), padding=1, dtype=self.dtype,
-                name=f"head_{head_i}_conv",
-            )(features)
-            h = nn.relu(h)
-            h = nn.Conv(
-                n_out, (1, 1),
-                bias_init=nn.initializers.constant(bias_init),
-                dtype=self.dtype, name=f"head_{head_i}_out",
-            )(h)
-            outputs.append(h.astype(jnp.float32))
+            k, b = _ConvParams(
+                (3, 3, c_in, self.head_conv), name=f"head_{head_i}_conv"
+            )()
+            conv_ks.append(k)
+            conv_bs.append(b)
+            k, b = _ConvParams(
+                (1, 1, self.head_conv, n_out), bias_init_value=bias_init,
+                name=f"head_{head_i}_out",
+            )()
+            out_ks.append(k)
+            out_bs.append(b)
+
+        h = jax.lax.conv_general_dilated(
+            features.astype(self.dtype),
+            jnp.concatenate(conv_ks, axis=-1).astype(self.dtype),
+            (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.concatenate(conv_bs).astype(self.dtype)
+        h = nn.relu(h)
+
+        outputs = []
+        for head_i, n_out in enumerate(self.head_channels):
+            hi = h[..., head_i * self.head_conv : (head_i + 1)
+                   * self.head_conv]
+            o = jax.lax.conv_general_dilated(
+                hi, out_ks[head_i].astype(self.dtype), (1, 1),
+                [(0, 0)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + out_bs[head_i].astype(self.dtype)
+            outputs.append(o.astype(jnp.float32))
         return outputs
 
 
@@ -653,6 +727,7 @@ class CenterpointDLA34(nn.Module):
     offset_bound: Optional[float] = None
     stem_s2d: int = 0
     early_pack: int = 0
+    fuse_heads: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> Prediction:
@@ -674,6 +749,7 @@ class CenterpointDLA34(nn.Module):
                 offset_bound=self.offset_bound,
                 stem_s2d=self.stem_s2d,
                 early_pack=self.early_pack,
+                fuse_heads=self.fuse_heads,
                 dtype=self.dtype,
                 name="model",
             )(img, train=train)

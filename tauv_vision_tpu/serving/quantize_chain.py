@@ -794,8 +794,9 @@ def dla_trunk_chain(ctx: ChainCtx, img):
 def _depthwise_upsample(ctx: ChainCtx, x, path: str, factor: int):
     """DepthwiseUpsample (centerpoint_dla.py DepthwiseUpsample):
     dilated depthwise correlation, kept bf16 (no MXU contraction to
-    quantize; the zero-free phase form measured slower end-to-end —
-    see the module's comment)."""
+    quantize).  The zero-free phase form measured slower end-to-end at
+    f=2 AND cost 15% whole-model fps at f=4 despite a 37x standalone
+    win (layout interaction; see the flax module's comment)."""
     kernel = _get(ctx.params, path)["kernel"]
     f = factor
     k = 2 * f
