@@ -46,7 +46,7 @@ def _enable_compilation_cache():
 
 def build_centernet(deform: bool = True, dcn_impl: str = "pallas",
                     dcn_max_offset: float = 3, dcn_bound: bool = False,
-                    early_pack: int = 0):
+                    early_pack: int = 0, up_impl: str = "dilated"):
     import jax
     import jax.numpy as jnp
 
@@ -88,7 +88,7 @@ def build_centernet(deform: bool = True, dcn_impl: str = "pallas",
         object_config=object_config, dtype=jnp.bfloat16, deform=deform,
         dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
         offset_bound=dcn_max_offset if dcn_bound else None,
-        early_pack=early_pack,
+        early_pack=early_pack, up_impl=up_impl,
     )
     img = jnp.zeros((1, BENCH_H, BENCH_W, 3), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, img, train=False))(
@@ -1196,6 +1196,13 @@ def main():
     early_pack = 0
     if "--early-pack" in sys.argv:
         early_pack = int(sys.argv[sys.argv.index("--early-pack") + 1])
+    # --up-impl {dilated,block}: depthwise-upsample lowering for the
+    # DLAUp/IDAUp aggregation stage.  "block" is the zero-free
+    # block-phase sum (ops/conv_transpose.depthwise_upsample_block);
+    # chip verdict: scripts/upsample_ab_probe.py.
+    up_impl = "dilated"
+    if "--up-impl" in sys.argv:
+        up_impl = sys.argv[sys.argv.index("--up-impl") + 1]
 
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (batch_size, BENCH_H, BENCH_W, 3),
@@ -1208,7 +1215,7 @@ def main():
 
     cn_pipeline, cn_vars, cn_model, cn_cfg, cn_raw = build_centernet(
         deform=deform, dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
-        dcn_bound=dcn_bound, early_pack=early_pack,
+        dcn_bound=dcn_bound, early_pack=early_pack, up_impl=up_impl,
     )
     yl_pipeline, yl_vars, yl_model, yl_cfg, yl_raw = build_yolact()
 
@@ -1475,6 +1482,7 @@ def main():
                 if chain else "per-layer"
             ) if int8 else None,
             "early_pack": early_pack or None,
+            "up_impl": up_impl if up_impl != "dilated" else None,
             "bf16_tail": list(bf16_tail) if (chain and parity) else None,
             "mse_clip": mse if (chain and parity) else None,
             "bias_correct": bias_correct if (chain and parity) else None,

@@ -489,6 +489,7 @@ class DepthwiseUpsample(nn.Module):
     torch's parameterization (trainable, like the reference)."""
 
     factor: int
+    impl: str = "dilated"  # "dilated" | "block"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -504,6 +505,20 @@ class DepthwiseUpsample(nn.Module):
             )
 
         kernel = self.param("kernel", init, (k, k, 1, c), jnp.float32)
+
+        if self.impl == "block":
+            # Zero-free block-phase sum (ops/conv_transpose.
+            # depthwise_upsample_block): the depth-to-space is a pure
+            # adjacent-axis reshape, avoiding the layout flip that made
+            # the channel-major phase form lose whole-model.  Verdict
+            # on chip: scripts/upsample_ab_probe.py.
+            from tauv_vision_tpu.ops.conv_transpose import (
+                depthwise_upsample_block,
+            )
+
+            return depthwise_upsample_block(
+                x.astype(self.dtype), kernel.astype(self.dtype), f
+            )
 
         # Dilated depthwise correlation.  Lowering alternatives are
         # measured dead ends at every factor: the zero-free phase form
@@ -536,6 +551,7 @@ class IDAUpStage(nn.Module):
     dcn_impl: str = "shift"
     dcn_max_offset: float = 3
     offset_bound: Optional[float] = None
+    up_impl: str = "dilated"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -550,7 +566,8 @@ class IDAUpStage(nn.Module):
                 name=f"proj_{i}",
             )(layers[i], train=train)
             upsampled = DepthwiseUpsample(
-                int(self.up_factors[i]), dtype=self.dtype, name=f"up_{i}"
+                int(self.up_factors[i]), impl=self.up_impl,
+                dtype=self.dtype, name=f"up_{i}"
             )(projected) if self.up_factors[i] > 1 else projected
             upsampled = pad_to_match(upsampled, layers[i - 1].shape[1:3])
             layers[i] = DeformConvBlock(
@@ -572,6 +589,7 @@ class DLAUp(nn.Module):
     dcn_impl: str = "shift"
     dcn_max_offset: float = 3
     offset_bound: Optional[float] = None
+    up_impl: str = "dilated"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -592,6 +610,7 @@ class DLAUp(nn.Module):
                 dcn_impl=self.dcn_impl,
                 dcn_max_offset=self.dcn_max_offset,
                 offset_bound=self.offset_bound,
+                up_impl=self.up_impl,
                 dtype=self.dtype,
                 name=f"ida_{i}",
             )
@@ -618,6 +637,7 @@ class DLASeg(nn.Module):
     stem_s2d: int = 0
     early_pack: int = 0
     fuse_heads: bool = False
+    up_impl: str = "dilated"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -634,6 +654,7 @@ class DLASeg(nn.Module):
             channels, deform=self.deform, dcn_impl=self.dcn_impl,
             dcn_max_offset=self.dcn_max_offset,
                 offset_bound=self.offset_bound,
+            up_impl=self.up_impl,
             dtype=self.dtype, name="dla_up",
         )(levels[first_level:], train=train)
 
@@ -643,6 +664,7 @@ class DLASeg(nn.Module):
             channels[0], up_factors, deform=self.deform,
             dcn_impl=self.dcn_impl, dcn_max_offset=self.dcn_max_offset,
                 offset_bound=self.offset_bound,
+            up_impl=self.up_impl,
             dtype=self.dtype,
             name="ida_up",
         )(y, train=train)
@@ -728,6 +750,7 @@ class CenterpointDLA34(nn.Module):
     stem_s2d: int = 0
     early_pack: int = 0
     fuse_heads: bool = False
+    up_impl: str = "dilated"
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> Prediction:
@@ -750,6 +773,7 @@ class CenterpointDLA34(nn.Module):
                 stem_s2d=self.stem_s2d,
                 early_pack=self.early_pack,
                 fuse_heads=self.fuse_heads,
+                up_impl=self.up_impl,
                 dtype=self.dtype,
                 name="model",
             )(img, train=train)

@@ -95,6 +95,80 @@ def conv_transpose_phase(
     return out
 
 
+def depthwise_upsample_block(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    factor: int,
+) -> jnp.ndarray:
+    """Depthwise ConvTranspose(kernel=2f, stride=f, padding=f//2) as a
+    BLOCK-phase sum: phases land in a ``(B, H, f, W, f, C)`` tensor
+    whose axis order already matches the output raster, so the final
+    depth-to-space is a pure reshape over adjacent axes — no transpose,
+    no channel-major shuffle, none of the layout flip that made the
+    channel-major phase form (``conv_transpose_phase`` +
+    ``depth_to_space``) lose 15% whole-model despite a 37x standalone
+    win (BENCH.md round-3 dead ends).
+
+    For ``k == 2f`` every output phase has exactly 2 kernel taps per
+    spatial dim at input offsets within {-1, 0, 1}, so the whole
+    upsample is 9 shifted broadcast-FMAs over the once-padded input —
+    zero dilation zeros (the dilated lowering wastes f^2 x the tap work
+    on the VPU with no MXU to hide it).
+
+    Matches ``models/centerpoint_dla.DepthwiseUpsample``'s dilated
+    correlation (torch ConvTranspose2d parameterization,
+    centerpoint_dla.py:334-344 fill_up_weights init) to bf16 ulp order;
+    products and accumulation run in f32 like the XLA conv.
+
+    x: ``(B, H, W, C)``; kernel: HWIO ``(k, k, 1, C)``; returns
+    ``(B, f*H, f*W, C)``.
+    """
+    f = int(factor)
+    k = int(kernel.shape[0])
+    assert k == 2 * f, "block form covers the k == 2f bilinear family"
+    assert kernel.shape[2] == 1, "depthwise kernels only"
+    _, h, w, c = x.shape
+    padding = f // 2
+    pad_lo = k - 1 - padding
+
+    flipped = jnp.flip(kernel[:, :, 0, :], axis=(0, 1))  # (k, k, C) f32
+
+    # Static tap tables: phase a reads input rows Y + d for the two
+    # offsets d in _phase_taps(...); with the input padded by one on
+    # each side the padded-row shift p = d + 1 lands in {0, 1, 2}.
+    # Scatter each phase's 2x2 tap weights into a dense (3, 3, f, f, C)
+    # table indexed by (row shift, col shift) so ONE uniform 9-term
+    # broadcast sum computes every phase at once (5/9 of the table is
+    # structurally zero — weight-side zeros cost 9 vs 4 VPU FMAs per
+    # output, nothing in HBM traffic, and keep the graph a single
+    # fusable expression).
+    taps = [_phase_taps(k, f, pad_lo, a) for a in range(f)]
+    vtab = jnp.zeros((3, 3, f, f, c), flipped.dtype)
+    for a, (kys, dys) in enumerate(taps):
+        for bph, (kxs, dxs) in enumerate(taps):
+            for ky, dy in zip(kys, dys):
+                for kx, dx in zip(kxs, dxs):
+                    vtab = vtab.at[dy + 1, dx + 1, a, bph, :].set(
+                        flipped[ky, kx, :]
+                    )
+
+    # f32 products + f32 accumulation, matching the XLA conv's MXU/VPU
+    # numerics on bf16 inputs; weights pass through the model dtype
+    # first so both lowerings see identical tap values.
+    xf = x.astype(jnp.float32)
+    xp = jnp.pad(xf, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    vf = vtab.astype(jnp.float32)
+    t = None
+    for p in range(3):
+        for q in range(3):
+            term = (
+                xp[:, p : p + h, None, q : q + w, None, :]
+                * vf[p, q][None, None, :, None, :, :]
+            )
+            t = term if t is None else t + term
+    return t.reshape(x.shape[0], f * h, f * w, c).astype(x.dtype)
+
+
 def quantized_conv_transpose_phase(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

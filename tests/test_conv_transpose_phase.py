@@ -105,3 +105,98 @@ def test_depthwise_phase_matches_dilated():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
+
+
+@pytest.mark.parametrize("f,h,w,c", [
+    (2, 12, 20, 256),   # dla_up ida_0 upsample site
+    (2, 23, 40, 128),   # dla_up ida_1
+    (2, 45, 80, 64),    # dla_up ida_2 / final IDA f=2
+    (4, 23, 40, 64),    # final IDA f=4
+    (2, 7, 9, 16),      # odd small
+])
+def test_depthwise_upsample_block_matches_dilated(f, h, w, c):
+    """The block-phase lowering (ops/conv_transpose.
+    depthwise_upsample_block) is the dilated depthwise ConvTranspose
+    exactly — random TRAINED-like kernels, not just the bilinear init,
+    since DepthwiseUpsample's kernel is a trainable parameter."""
+    from tauv_vision_tpu.models.centerpoint_dla import DepthwiseUpsample
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, h, w, c)).astype(np.float32))
+
+    dilated = DepthwiseUpsample(f, impl="dilated")
+    block = DepthwiseUpsample(f, impl="block")
+    variables = dilated.init(jax.random.key(0), x)
+    # overwrite the bilinear init with random trained-like weights
+    variables = {
+        "params": {
+            "kernel": jnp.asarray(
+                rng.standard_normal(
+                    variables["params"]["kernel"].shape
+                ).astype(np.float32)
+            )
+        }
+    }
+
+    ref = np.asarray(dilated.apply(variables, x))
+    got = np.asarray(block.apply(variables, x))
+    assert got.shape == ref.shape == (3, f * h, f * w, c)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_depthwise_upsample_block_bf16_close():
+    """bf16 serving dtype: both lowerings do f32 products/accumulation
+    over bf16 tap values, so they agree to bf16 ulp order."""
+    from tauv_vision_tpu.models.centerpoint_dla import DepthwiseUpsample
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.standard_normal((2, 23, 40, 64)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    dilated = DepthwiseUpsample(2, impl="dilated", dtype=jnp.bfloat16)
+    block = DepthwiseUpsample(2, impl="block", dtype=jnp.bfloat16)
+    variables = dilated.init(jax.random.key(0), x)
+
+    ref = np.asarray(dilated.apply(variables, x), np.float32)
+    got = np.asarray(block.apply(variables, x), np.float32)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= 0.01 * scale
+
+
+def test_model_up_impl_block_equivalence():
+    """Whole-model: CenterpointDLA34(up_impl='block') reproduces the
+    default forward from the SAME variables (the switch only changes
+    the upsample lowering, not parameters)."""
+    from math import pi
+
+    from tauv_vision_tpu.configs import (
+        AngleConfig,
+        CenternetModelConfig,
+        ObjectConfig,
+        ObjectConfigSet,
+    )
+    from tauv_vision_tpu.models.centerpoint_dla import CenterpointDLA34
+
+    oc = ObjectConfigSet(configs=(ObjectConfig(
+        id="o", yaw=AngleConfig(train=False, modulo=2 * pi),
+        pitch=AngleConfig(train=False, modulo=2 * pi),
+        roll=AngleConfig(train=False, modulo=2 * pi),
+        train_depth=False, train_keypoints=False, keypoints=None,
+    ),))
+    a = CenterpointDLA34(object_config=oc, deform=False)
+    b = CenterpointDLA34(object_config=oc, deform=False, up_impl="block")
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 64, 96, 3)).astype(np.float32))
+    variables = a.init(jax.random.key(1), x, train=False)
+
+    pa = a.apply(variables, x, train=False)
+    pb = b.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(pb.heatmap), np.asarray(pa.heatmap), rtol=1e-4,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pb.size), np.asarray(pa.size), rtol=1e-4, atol=1e-4,
+    )
