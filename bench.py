@@ -17,6 +17,7 @@ North star: >= 1000 frames/sec/chip (vs_baseline = value / 1000).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -554,8 +555,11 @@ def run_host_io_bench(batch_size: int):
 
     png_dir = tmp / "png"
     png_dir.mkdir()
+    t0 = time.perf_counter()
     for i in range(n_batches * batch_size):
         write_png(png_dir / f"{i:06d}.png", frames_all[i])
+    print(f"wrote {n_batches * batch_size} pngs in "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 
     # The headline serving profile: chain-int8, both detectors.
     frames0 = jnp.asarray(frames_all[:batch_size])
@@ -568,6 +572,7 @@ def run_host_io_bench(batch_size: int):
         make_yolact_chain_pipeline,
     )
 
+    print("models built; calibrating...", file=sys.stderr, flush=True)
     cn_scales = load_scales(cn_raw, cn_vars, frames0,
                             f"centernet_b{batch_size}")
     yl_scales = load_scales(yl_raw, yl_vars, frames0,
@@ -583,8 +588,21 @@ def run_host_io_bench(batch_size: int):
 
     @jax.jit
     def combined(variables, frames):
-        return cn_q(frames), yl_q(frames)
+        cn_out, yl_out = cn_q(frames), yl_q(frames)
+        # Materialize the payload the reference node actually publishes:
+        # mask BITMAPS (yolact_node.py binarizes masks into the
+        # detection message), not proto-res f32 maps.  packbits on
+        # device cuts the downloaded mask payload 32x (147 MB -> 4.6 MB
+        # per batch-128) — essential through this image's tunnel, whose
+        # device->host path measured 1.0 MB/s on round-3 re-measure
+        # (78 MB/s in round 2; it drifts), and representative of real
+        # serving where outputs cross PCIe once as compact messages.
+        yl_out = dataclasses.replace(
+            yl_out, mask=jnp.packbits(yl_out.mask > 0.5, axis=-1)
+        )
+        return cn_out, yl_out
 
+    print("compiling fused graph...", file=sys.stderr, flush=True)
     executor = ServingExecutor(combined, {}, prefetch=2)
 
     def raw_source(reps):
@@ -815,6 +833,17 @@ def run_train_io_bench(batch_size: int = 32, steps: int = 12):
     print("timing loader-fed steps...", file=sys.stderr)
     t_loader = time_steps(from_loader, steps)
 
+    # Tunnel-independent supply rate: the loader's pure host-side
+    # production (PNG decode + collate, no device), the number that
+    # answers "can the host feed the step?" on hardware where
+    # host->device is PCIe, not this image's ~11 MB/s tunnel.
+    print("timing loader host-side supply...", file=sys.stderr)
+    next(batches)  # ensure prefetch queues are in steady state
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        next(batches)
+    t_supply = (time.perf_counter() - t0) / steps
+
     result = {
         "metric": "DLA-34 train step with host input pipeline",
         "value": round(t_loader * 1e3, 1),
@@ -827,6 +856,8 @@ def run_train_io_bench(batch_size: int = 32, steps: int = 12):
                 100 * (t_loader - t_resident) / t_resident, 1
             ),
             "img_per_sec": round(batch_size / t_loader, 1),
+            "loader_supply_ms_per_batch": round(t_supply * 1e3, 1),
+            "loader_supply_img_per_sec": round(batch_size / t_supply, 1),
             "n_loader_workers": 2,
             "host_cores": os.cpu_count(),
             "device": str(jax.devices()[0]),
