@@ -148,7 +148,12 @@ def time_chained(pipeline, variables, frames, n_chain=6, n_reps=2):
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnums=2)
+    from tauv_vision_tpu.serving.compiler import serving_compiler_options
+
+    @functools.partial(
+        jax.jit, static_argnums=2,
+        compiler_options=serving_compiler_options(),
+    )
     def chained(variables, frames, n):
         # Two traps this construction avoids (both observed as impossible
         # TFLOP/s): (1) the carry must be data-dependent or XLA hoists the
@@ -491,7 +496,11 @@ def time_chained_dispatch(pipeline, variables, frames, n=6, n_reps=2):
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
+    from tauv_vision_tpu.serving.compiler import serving_compiler_options
+
+    @functools.partial(
+        jax.jit, compiler_options=serving_compiler_options(),
+    )
     def step(variables, frames, carry):
         out = pipeline(variables, frames + carry)
         total = sum(
@@ -586,7 +595,9 @@ def run_host_io_bench(batch_size: int):
         confidence_threshold=0.5,
     )
 
-    @jax.jit
+    from tauv_vision_tpu.serving.compiler import serving_jit
+
+    @serving_jit
     def combined(variables, frames):
         cn_out, yl_out = cn_q(frames), yl_q(frames)
         # Materialize the payload the reference node actually publishes:

@@ -1,60 +1,54 @@
-"""XLA flag sweep for the north-star serving graph.
+"""XLA compiler-option sweep for the north-star serving graph.
 
-XLA_FLAGS bind at process start, so unlike scripts/heads_ab_probe.py
-this probe cannot interleave arms inside one process.  Instead it
-subprocess-launches one bench per (flag-set, round) in A,B,...,A,B
-rotation and reports per-arm medians — slow chip drift (the +-9%
-single-shot spread documented in BENCH.md) hits every arm equally in
-expectation, and medians over >=3 rounds separate effects >~5%.
+Client-side ``XLA_FLAGS`` cannot carry TPU flags through this image's
+relay (the CPU-built client rejects ``--xla_tpu_*`` at flag parse), but
+``jax.jit(..., compiler_options=...)`` serializes options into the
+compile request per-executable — verified live on the chip.  That also
+means the sweep can run as a TRUE interleaved A/B in ONE process
+(scripts/heads_ab_probe.py discipline: same variables, same input,
+A,B,...,A,B rounds so the ±9% single-shot chip drift documented in
+BENCH.md cancels), which process-level XLA_FLAGS rotation never could.
 
-Flags tried are the documented XLA:TPU serving levers:
+Arms are the documented XLA:TPU serving levers:
 
-- ``--xla_tpu_scoped_vmem_limit_kib``: the fusion scratch budget;
-  larger values let the fuser keep conv producer/consumer chains in
-  VMEM (v5e has 128 MiB; the default budget is far smaller).
-- ``--xla_tpu_enable_latency_hiding_scheduler``: overlaps async copies
-  with compute; mostly a collectives lever but also reorders HBM
-  prefetches single-core.
+- ``xla_tpu_scoped_vmem_limit_kib``: the fusion scratch budget; larger
+  values let the fuser keep conv producer/consumer chains in VMEM.
+- ``xla_tpu_enable_latency_hiding_scheduler``: reorders HBM prefetches
+  against compute (mostly a collectives lever; cheap to test).
 
-Each arm runs ``bench.py [batch] --north-star`` in a subprocess with
-the arm's XLA_FLAGS and parses the one-line JSON.
+Each arm times the full north-star fused pipeline (CN bf16 + YOLACT
+parity-chain-int8 + both decodes, shared resize) via the chained-scan
+methodology.  Arms whose options the server rejects are reported as
+failed rather than aborting the sweep.
 
   python -m tauv_vision_tpu.scripts.xla_flags_probe [batch] [rounds]
 """
 
 from __future__ import annotations
 
+import functools
 import json
-import os
-import pathlib
-import subprocess
 import sys
+import time
 
 import numpy as np
 
-ARMS = {
-    "baseline": "",
-    "vmem64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "vmem32m": "--xla_tpu_scoped_vmem_limit_kib=32768",
-    "lhs": "--xla_tpu_enable_latency_hiding_scheduler=true",
+BENCH_H, BENCH_W = 480, 640
+
+ARMS: dict[str, dict[str, str]] = {
+    "baseline": {},
+    "vmem24m": {"xla_tpu_scoped_vmem_limit_kib": "24576"},
+    "vmem32m": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    "vmem48m": {"xla_tpu_scoped_vmem_limit_kib": "49152"},
+    "vmem32m_lhs": {
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+    },
 }
 
-
-def run_arm(flags: str, batch: int) -> float:
-    env = dict(os.environ)
-    if flags:
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
-    repo = pathlib.Path(__file__).resolve().parents[2]
-    out = subprocess.run(
-        [sys.executable, str(repo / "bench.py"), str(batch), "--north-star"],
-        capture_output=True, text=True, timeout=1800, env=env, cwd=repo,
-    )
-    for line in reversed(out.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            return float(json.loads(line)["value"])
-    raise RuntimeError(
-        f"no JSON from arm {flags!r}: {out.stdout[-500:]} {out.stderr[-500:]}"
-    )
+# Round-1 sweep (3 interleaved rounds, this chip): baseline 948.9,
+# vmem64m +1.6%, vmem32m +4.1% (tight: 129.6/128.0/129.8 ms),
+# lhs +1.6%.  The arms above refine around the winner.
 
 
 def main() -> None:
@@ -62,24 +56,115 @@ def main() -> None:
     batch = ints[0] if ints else 128
     rounds = ints[1] if len(ints) > 1 else 3
 
-    results: dict[str, list[float]] = {k: [] for k in ARMS}
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+    from bench import build_centernet, build_yolact, load_scales
+
+    from tauv_vision_tpu.serving.pipeline import make_combined_pipeline
+    from tauv_vision_tpu.serving.quantize import strip_scales
+    from tauv_vision_tpu.serving.quantize_chain import yolact_chain_forward
+
+    # Mirror bench.py --north-star exactly: CN certified bf16 float
+    # path, YOLACT parity-chain rung (whole head + proto output bf16).
+    _, cn_vars, cn_model, cn_cfg, cn_raw = build_centernet(deform=False)
+    _, yl_vars, yl_model, yl_cfg, yl_raw = build_yolact()
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(
+        0, 256, (batch, BENCH_H, BENCH_W, 3), dtype=np.uint8
+    ))
+
+    yl_scales = load_scales(
+        yl_raw, yl_vars, frames, f"yolact_b{batch}", per_channel=True,
+    )
+    yl_scales = strip_scales(
+        yl_scales, ("prediction_head", "protonet/output")
+    )
+    cn_fwd = lambda img: cn_model.apply(cn_vars, img, train=False)  # noqa: E731
+    yl_fwd = yolact_chain_forward(yl_cfg, yl_vars, yl_scales)
+    combined = make_combined_pipeline(
+        cn_fwd, cn_cfg, yl_fwd, yl_cfg,
+        n_detections=10, score_threshold=0.6, top_k=20,
+        iou_threshold=0.5, confidence_threshold=0.5,
+    )
+
+    def make_chained(options):
+        @functools.partial(
+            jax.jit, static_argnums=1,
+            compiler_options=options or None,
+        )
+        def chained(frames, n_):
+            def body(carry, _):
+                out = combined(frames + carry)
+                total = sum(
+                    leaf.astype(jnp.float32).sum()
+                    for leaf in jax.tree_util.tree_leaves(out)
+                )
+                return (
+                    (total.astype(jnp.int32) % 2).astype(frames.dtype),
+                    total,
+                )
+
+            _, totals = jax.lax.scan(
+                body, jnp.zeros((), frames.dtype), None, length=n_
+            )
+            return totals.sum()
+
+        return chained
+
+    def timeit(chained, n=8, reps=2):
+        def run(n_):
+            float(chained(frames, n_))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(chained(frames, n_))
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        return max(run(2 * n) - run(n), 1e-9) / n
+
+    fns: dict[str, object] = {}
+    failed: dict[str, str] = {}
+    for name, options in ARMS.items():
+        fn = make_chained(options)
+        try:
+            float(fn(frames, 1))  # compile probe
+            fns[name] = fn
+        except Exception as e:  # noqa: BLE001 — record and move on
+            failed[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            print({"arm": name, "failed": failed[name]}, flush=True)
+
+    results: dict[str, list[float]] = {k: [] for k in fns}
     for r in range(rounds):
-        for name, flags in ARMS.items():
-            fps = run_arm(flags, batch)
-            results[name].append(fps)
-            print({"round": r, "arm": name, "fps": round(fps, 1)},
-                  flush=True)
+        for name, fn in fns.items():
+            t = timeit(fn)
+            results[name].append(t)
+            print({"round": r, "arm": name, "ms": round(t * 1e3, 2),
+                   "fps": round(batch / t, 1)}, flush=True)
 
     base = float(np.median(results["baseline"]))
     summary = {
         name: {
-            "fps_median": round(float(np.median(v)), 1),
-            "fps_all": [round(x, 1) for x in v],
-            "vs_baseline_arm": round(float(np.median(v)) / base, 4),
+            "fps_median": round(batch / float(np.median(v)), 1),
+            "ms_all": [round(x * 1e3, 2) for x in v],
+            "speedup_vs_baseline": round(base / float(np.median(v)), 4),
         }
         for name, v in results.items()
     }
-    print(json.dumps({"batch": batch, "rounds": rounds, "arms": summary}))
+    print(json.dumps({
+        "batch": batch, "rounds": rounds, "arms": summary,
+        "failed": failed,
+    }))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ from tauv_vision_tpu.serving.centernet_decode import (
     decode,
     decode_keypoints,
 )
+from tauv_vision_tpu.serving.compiler import serving_jit
 from tauv_vision_tpu.serving.yolact_decode import YolactDetections, decode_yolact
 
 # ImageNet statistics, the constants both reference nodes normalize with.
@@ -68,12 +69,12 @@ def make_centernet_pipeline(
     if not jit:
         return pipeline
     if mesh is not None:
-        return jax.jit(
+        return serving_jit(
             pipeline,
             in_shardings=(replicated(mesh), batch_sharding(mesh)),
             out_shardings=batch_sharding(mesh),
         )
-    return jax.jit(pipeline)
+    return serving_jit(pipeline)
 
 
 def make_centernet_keypoint_pipeline(
@@ -105,7 +106,7 @@ def make_centernet_keypoint_pipeline(
             score_threshold, keypoint_score_threshold,
         )
 
-    return jax.jit(pipeline) if jit else pipeline
+    return serving_jit(pipeline) if jit else pipeline
 
 
 def make_yolo_pose_pipeline(
@@ -177,9 +178,9 @@ def make_yolo_pose_pipeline(
             split = bool(split_pnp)
 
     if not split:
-        return jax.jit(make(want_pnp))
+        return serving_jit(make(want_pnp))
 
-    base = jax.jit(make(False))
+    base = serving_jit(make(False))
     pnp_fn = jax.jit(
         lambda d: attach_pnp(
             d, model_config, object_points, camera_matrix,
@@ -224,12 +225,12 @@ def make_yolact_pipeline(
     if not jit:
         return pipeline
     if mesh is not None:
-        return jax.jit(
+        return serving_jit(
             pipeline,
             in_shardings=(replicated(mesh), batch_sharding(mesh)),
             out_shardings=batch_sharding(mesh),
         )
-    return jax.jit(pipeline)
+    return serving_jit(pipeline)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -355,4 +356,4 @@ def make_combined_pipeline(
                                 top_k, iou_threshold, confidence_threshold)
         return cn_dets, yl_dets
 
-    return jax.jit(pipeline) if jit else pipeline
+    return serving_jit(pipeline) if jit else pipeline
