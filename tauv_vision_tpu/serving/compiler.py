@@ -23,9 +23,13 @@ from typing import Optional
 import jax
 
 # Winner of the scripts/xla_flags_probe.py interleaved sweep (medians
-# over >=3 A/B rounds, batch-128 north-star graph, v5e).
+# over 3 A/B rounds, batch-128 north-star graph, v5e): baseline 963.9
+# fps, vmem24m +1.45%, vmem32m +1.97%, vmem48m +1.77%, vmem32m+latency-
+# hiding scheduler +2.66% (989.6 fps).  See BENCH.md "XLA compiler
+# options".
 TUNED_TPU_OPTIONS = {
     "xla_tpu_scoped_vmem_limit_kib": "32768",
+    "xla_tpu_enable_latency_hiding_scheduler": "true",
 }
 
 
