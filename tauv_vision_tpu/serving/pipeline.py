@@ -33,7 +33,6 @@ from tauv_vision_tpu.serving.centernet_decode import (
     decode,
     decode_keypoints,
 )
-from tauv_vision_tpu.serving.compiler import serving_jit
 from tauv_vision_tpu.serving.yolact_decode import YolactDetections, decode_yolact
 
 # ImageNet statistics, the constants both reference nodes normalize with.
@@ -69,12 +68,12 @@ def make_centernet_pipeline(
     if not jit:
         return pipeline
     if mesh is not None:
-        return serving_jit(
+        return jax.jit(
             pipeline,
             in_shardings=(replicated(mesh), batch_sharding(mesh)),
             out_shardings=batch_sharding(mesh),
         )
-    return serving_jit(pipeline)
+    return jax.jit(pipeline)
 
 
 def make_centernet_keypoint_pipeline(
@@ -106,7 +105,7 @@ def make_centernet_keypoint_pipeline(
             score_threshold, keypoint_score_threshold,
         )
 
-    return serving_jit(pipeline) if jit else pipeline
+    return jax.jit(pipeline) if jit else pipeline
 
 
 def make_yolo_pose_pipeline(
@@ -178,9 +177,9 @@ def make_yolo_pose_pipeline(
             split = bool(split_pnp)
 
     if not split:
-        return serving_jit(make(want_pnp))
+        return jax.jit(make(want_pnp))
 
-    base = serving_jit(make(False))
+    base = jax.jit(make(False))
     pnp_fn = jax.jit(
         lambda d: attach_pnp(
             d, model_config, object_points, camera_matrix,
@@ -225,12 +224,12 @@ def make_yolact_pipeline(
     if not jit:
         return pipeline
     if mesh is not None:
-        return serving_jit(
+        return jax.jit(
             pipeline,
             in_shardings=(replicated(mesh), batch_sharding(mesh)),
             out_shardings=batch_sharding(mesh),
         )
-    return serving_jit(pipeline)
+    return jax.jit(pipeline)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -356,4 +355,4 @@ def make_combined_pipeline(
                                 top_k, iou_threshold, confidence_threshold)
         return cn_dets, yl_dets
 
-    return serving_jit(pipeline) if jit else pipeline
+    return jax.jit(pipeline) if jit else pipeline

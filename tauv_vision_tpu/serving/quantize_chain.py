@@ -41,7 +41,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tauv_vision_tpu.serving.compiler import serving_jit
 
 BN_EPS = 1e-5
 
@@ -692,7 +691,7 @@ def make_yolact_chain_pipeline(
             prediction, cfg, top_k, iou_threshold, confidence_threshold
         )
 
-    return serving_jit(pipeline) if jit else pipeline
+    return jax.jit(pipeline) if jit else pipeline
 
 # ---------------------------------------------- CenterNet DLA-34 chain
 
@@ -955,7 +954,7 @@ def make_centernet_chain_pipeline(
         return decode(prediction, model_config, n_detections,
                       score_threshold)
 
-    return serving_jit(pipeline) if jit else pipeline
+    return jax.jit(pipeline) if jit else pipeline
 
 
 def make_centernet_keypoint_chain_pipeline(
@@ -994,7 +993,7 @@ def make_centernet_keypoint_chain_pipeline(
             score_threshold, keypoint_score_threshold,
         )
 
-    return serving_jit(pipeline) if jit else pipeline
+    return jax.jit(pipeline) if jit else pipeline
 
 
 # ------------------------------------------------------ YOLO-Pose chain
@@ -1194,9 +1193,9 @@ def make_yolo_pose_chain_pipeline(
             split = bool(split_pnp)
 
     if not split:
-        return serving_jit(make(want_pnp))
+        return jax.jit(make(want_pnp))
 
-    base = serving_jit(make(False))
+    base = jax.jit(make(False))
     pnp_fn = jax.jit(
         lambda d: attach_pnp(
             d, cfg, object_points, camera_matrix,
