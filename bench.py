@@ -141,8 +141,14 @@ def build_yolact():
     return pipeline, variables, model, model_config, raw
 
 
-def time_chained(pipeline, variables, frames, n_chain=6, n_reps=2):
-    """Median per-invocation seconds via N-vs-2N chained scans."""
+def time_chained(pipeline, variables, frames, n_chain=6, n_reps=2,
+                 tuned_options=False):
+    """Median per-invocation seconds via N-vs-2N chained scans.
+
+    ``tuned_options`` applies the serving compiler options
+    (serving/compiler.py) to the outer jit — on for the bf16/north-star
+    profiles where the sweep measured the win; the chain-int8 effect is
+    settled by scripts/chain_options_ab.py before defaulting it on."""
     import functools
 
     import jax
@@ -152,7 +158,8 @@ def time_chained(pipeline, variables, frames, n_chain=6, n_reps=2):
 
     @functools.partial(
         jax.jit, static_argnums=2,
-        compiler_options=serving_compiler_options(),
+        compiler_options=serving_compiler_options()
+        if tuned_options else None,
     )
     def chained(variables, frames, n):
         # Two traps this construction avoids (both observed as impossible
@@ -496,11 +503,7 @@ def time_chained_dispatch(pipeline, variables, frames, n=6, n_reps=2):
     import jax
     import jax.numpy as jnp
 
-    from tauv_vision_tpu.serving.compiler import serving_compiler_options
-
-    @functools.partial(
-        jax.jit, compiler_options=serving_compiler_options(),
-    )
+    @jax.jit
     def step(variables, frames, carry):
         out = pipeline(variables, frames + carry)
         total = sum(
@@ -1492,14 +1495,21 @@ def main():
             n_detections=10, score_threshold=0.6, top_k=20,
             iou_threshold=0.5, confidence_threshold=0.5,
         )
+        # Tuned compiler options where the sweep measured the win
+        # (north-star / bf16 graphs); chain-int8 stays default until
+        # scripts/chain_options_ab.py settles its arm.
+        tuned = north_star or not int8
         fused_time = time_chained(
-            lambda v, f: combined(f), None, frames
+            lambda v, f: combined(f), None, frames, tuned_options=tuned
         )
         fps = batch_size / fused_time
         cn_time = yl_time = None
     else:
-        cn_time = time_chained(cn_timed, cn_vars, frames)
-        yl_time = time_chained(yl_timed, yl_vars, frames)
+        tuned = north_star or not int8
+        cn_time = time_chained(cn_timed, cn_vars, frames,
+                               tuned_options=tuned)
+        yl_time = time_chained(yl_timed, yl_vars, frames,
+                               tuned_options=tuned)
 
         # Combined: every frame goes through both nets end-to-end.
         fps = batch_size / (cn_time + yl_time)
