@@ -1495,21 +1495,20 @@ def main():
             n_detections=10, score_threshold=0.6, top_k=20,
             iou_threshold=0.5, confidence_threshold=0.5,
         )
-        # Tuned compiler options where the sweep measured the win
-        # (north-star / bf16 graphs); chain-int8 stays default until
-        # scripts/chain_options_ab.py settles its arm.
-        tuned = north_star or not int8
+        # Tuned compiler options on every profile: the sweep measured
+        # +2.7% on the north-star graph and chain_options_ab.py
+        # measured neutral-to-positive on chain-int8 (CN 0.998x,
+        # YL 1.007x) — see BENCH.md "XLA compiler options".
         fused_time = time_chained(
-            lambda v, f: combined(f), None, frames, tuned_options=tuned
+            lambda v, f: combined(f), None, frames, tuned_options=True
         )
         fps = batch_size / fused_time
         cn_time = yl_time = None
     else:
-        tuned = north_star or not int8
         cn_time = time_chained(cn_timed, cn_vars, frames,
-                               tuned_options=tuned)
+                               tuned_options=True)
         yl_time = time_chained(yl_timed, yl_vars, frames,
-                               tuned_options=tuned)
+                               tuned_options=True)
 
         # Combined: every frame goes through both nets end-to-end.
         fps = batch_size / (cn_time + yl_time)
