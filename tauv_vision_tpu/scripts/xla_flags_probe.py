@@ -35,20 +35,31 @@ import numpy as np
 
 BENCH_H, BENCH_W = 480, 640
 
-ARMS: dict[str, dict[str, str]] = {
-    "baseline": {},
-    "vmem24m": {"xla_tpu_scoped_vmem_limit_kib": "24576"},
-    "vmem32m": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
-    "vmem48m": {"xla_tpu_scoped_vmem_limit_kib": "49152"},
-    "vmem32m_lhs": {
-        "xla_tpu_scoped_vmem_limit_kib": "32768",
-        "xla_tpu_enable_latency_hiding_scheduler": "true",
-    },
+_WIN = {
+    "xla_tpu_scoped_vmem_limit_kib": "32768",
+    "xla_tpu_enable_latency_hiding_scheduler": "true",
 }
 
-# Round-1 sweep (3 interleaved rounds, this chip): baseline 948.9,
+ARMS: dict[str, dict[str, str]] = {
+    # current default-of-record (serving/compiler.py TUNED_TPU_OPTIONS)
+    "baseline": dict(_WIN),
+    "off": {},
+    "vmem28m_lhs": {**_WIN, "xla_tpu_scoped_vmem_limit_kib": "28672"},
+    "vmem36m_lhs": {**_WIN, "xla_tpu_scoped_vmem_limit_kib": "36864"},
+    "vmem40m_lhs": {**_WIN, "xla_tpu_scoped_vmem_limit_kib": "40960"},
+    # exploratory fusion/scheduling levers; unknown options fail the
+    # arm gracefully and the failure is itself a recorded datum
+    "fusion_cost": {
+        **_WIN, "xla_tpu_enable_experimental_fusion_cost_model": "true",
+    },
+    "scavenge": {**_WIN, "xla_tpu_scavenge_vmem_for_fusions": "true"},
+}
+
+# Sweep 1 (3 interleaved rounds, this chip): baseline 948.9,
 # vmem64m +1.6%, vmem32m +4.1% (tight: 129.6/128.0/129.8 ms),
-# lhs +1.6%.  The arms above refine around the winner.
+# lhs +1.6%.  Sweep 2: baseline 963.9, vmem24m +1.45%, vmem32m +1.97%,
+# vmem48m +1.77%, vmem32m+lhs +2.66% (989.6 fps) -> TUNED_TPU_OPTIONS.
+# The arms above refine around that winner (note the flipped baseline).
 
 
 def main() -> None:

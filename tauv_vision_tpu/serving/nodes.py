@@ -25,6 +25,7 @@ import numpy as np
 
 from tauv_vision_tpu.configs.centernet import CenternetModelConfig, ObjectConfigSet
 from tauv_vision_tpu.configs.yolact import ClassConfigSet, YolactModelConfig
+from tauv_vision_tpu.serving.compiler import serving_jit
 from tauv_vision_tpu.serving.pipeline import (
     back_project,
     depth_window_z,
@@ -71,13 +72,18 @@ class CenternetServer:
         self.variables = variables
         self.depth_window = depth_window
 
-        self.pipeline = make_centernet_keypoint_pipeline(
+        # The node's dispatch is a top-level jit, so the tuned serving
+        # compiler options (serving/compiler.py) apply here; the make_*
+        # helpers return the raw traceable (jit=False) because options
+        # are rejected on nested jits.
+        self.pipeline = serving_jit(make_centernet_keypoint_pipeline(
             model, model_config, object_config, self.intrinsics,
             n_detections=n_detections,
             keypoint_n_detections=keypoint_n_detections,
             score_threshold=score_threshold,
             keypoint_score_threshold=keypoint_score_threshold,
-        )
+            jit=False,
+        ))
 
         # Warm-up forward pass (centernet_node.py:50).
         warmup = jnp.zeros((1, 480, 640, 3), jnp.uint8)
@@ -190,10 +196,10 @@ class YolactServer:
         self.intrinsics = jnp.asarray(intrinsics)
         self.variables = variables
 
-        self.pipeline = make_yolact_pipeline(
+        self.pipeline = serving_jit(make_yolact_pipeline(
             model, model_config, top_k=top_k, iou_threshold=iou_threshold,
-            confidence_threshold=confidence_threshold,
-        )
+            confidence_threshold=confidence_threshold, jit=False,
+        ))
 
         # Double warm-up (yolact_node.py:52-64).
         warmup = jnp.zeros((1, 480, 640, 3), jnp.uint8)
