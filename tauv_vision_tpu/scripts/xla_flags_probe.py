@@ -43,17 +43,16 @@ _WIN = {
 ARMS: dict[str, dict[str, str]] = {
     # current default-of-record (serving/compiler.py TUNED_TPU_OPTIONS)
     "baseline": dict(_WIN),
-    "off": {},
     "vmem28m_lhs": {**_WIN, "xla_tpu_scoped_vmem_limit_kib": "28672"},
     "vmem36m_lhs": {**_WIN, "xla_tpu_scoped_vmem_limit_kib": "36864"},
     "vmem40m_lhs": {**_WIN, "xla_tpu_scoped_vmem_limit_kib": "40960"},
-    # exploratory fusion/scheduling levers; unknown options fail the
-    # arm gracefully and the failure is itself a recorded datum
-    "fusion_cost": {
-        **_WIN, "xla_tpu_enable_experimental_fusion_cost_model": "true",
-    },
-    "scavenge": {**_WIN, "xla_tpu_scavenge_vmem_for_fusions": "true"},
 }
+# A 7-arm variant of this sweep (with exploratory
+# xla_tpu_enable_experimental_fusion_cost_model /
+# xla_tpu_scavenge_vmem_for_fusions arms) produced NO output in 55
+# minutes — one of the exploratory option sets appears to hang or
+# drastically slow the server-side compiler.  Keep arms to documented
+# options and monitor live.
 
 # Sweep 1 (3 interleaved rounds, this chip): baseline 948.9,
 # vmem64m +1.6%, vmem32m +4.1% (tight: 129.6/128.0/129.8 ms),
