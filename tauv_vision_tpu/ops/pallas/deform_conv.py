@@ -98,6 +98,7 @@ def _dcn_kernel(
     n_pack: int,
     c_real: int,
     use_mask: bool,
+    variant: str = "full",
 ):
     h = out_ref.shape[1]
     cp = x_vmem.shape[-1]
@@ -129,24 +130,30 @@ def _dcn_kernel(
     sx_lo = -pad + lo
     n_sx = 2 * pad + n_w
 
+    # Hat-compute dtype: "bf16_hat" runs the sampling arithmetic (hat
+    # weights, shifted-window FMAs) in bf16 — 2x VPU rate and half the
+    # rotation/broadcast traffic — accumulating each tap into the f32
+    # sampled scratch; "const_hat" is a measurement rung that keeps the
+    # FMA structure but replaces the per-pixel hats with a scalar
+    # constant (isolates hat-math + broadcast cost from the FMA core).
+    cdt = xrot_ref.dtype
+
     # Pre-rotate once per program: copy the block at every column shift
-    # the taps will read, converting to f32 in the same pass.  Column
-    # shifts rotate the sublane dim — the expensive move on TPU — so
-    # doing each distinct rotation once, here, leaves the hot loop below
-    # with only free major-dim row slices.  (Per-shift rotations in the
-    # loop ran 5-10x below the VPU bound.)
+    # the taps will read, converting to the compute dtype in the same
+    # pass.  Column shifts rotate the sublane dim — the expensive move
+    # on TPU — so doing each distinct rotation once, here, leaves the
+    # hot loop below with only free major-dim row slices.  (Per-shift
+    # rotations in the loop ran 5-10x below the VPU bound.)
     for j in range(n_sx):
         sx = sx_lo + j
-        xrot_ref[j] = x_vmem[:, halo + sx:halo + sx + wb, :].astype(
-            jnp.float32
-        )
+        xrot_ref[j] = x_vmem[:, halo + sx:halo + sx + wb, :].astype(cdt)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
     if n_pack > 1:
         lane = jax.lax.broadcasted_iota(jnp.int32, (h, wb, cp), 2)
 
-    def lane_plane(channels):
+    def lane_plane(channels, use_mask_plane=False):
         """Broadcast per-pack [H, wb] offset/mask planes over the
         channel lanes each pack occupies: ONE relayout per tap instead
         of one per (tap, shift)."""
@@ -155,7 +162,7 @@ def _dcn_kernel(
                 offset[:, :, ch][:, :, None]
                 if not use_mask_plane else mask[:, :, ch][:, :, None],
                 (h, wb, cp),
-            ).astype(jnp.float32)
+            ).astype(cdt)
             for ch in channels
         ]
         out = planes[0]
@@ -163,22 +170,30 @@ def _dcn_kernel(
             out = jnp.where(lane < p * c_real, out, planes[p])
         return out
 
+    const_hat = variant == "const_hat"
+
     for tap in range(kk):
         ky, kx = tap // k, tap % k
         base_y = ky - pad
         base_x = kx - pad
 
-        # Per-pack offset planes, lane-resident (see lane_plane).
-        use_mask_plane = False
-        dy = lane_plane([p * 2 * kk + 2 * tap for p in range(n_pack)])
-        dx = lane_plane([p * 2 * kk + 2 * tap + 1 for p in range(n_pack)])
+        if const_hat:
+            dy = dx = None
+            wxs = [jnp.asarray(1.0 / n_w, cdt)] * n_w
+        else:
+            # Per-pack offset planes, lane-resident (see lane_plane).
+            dy = lane_plane([p * 2 * kk + 2 * tap for p in range(n_pack)])
+            dx = lane_plane(
+                [p * 2 * kk + 2 * tap + 1 for p in range(n_pack)]
+            )
 
-        # Column hat weights for this tap's n_w shifts: pure elementwise
-        # VPU ops on the lane-resident DX array.
-        wxs = [
-            jnp.maximum(0.0, 1.0 - jnp.abs(dx - (lo + jj)))
-            for jj in range(n_w)
-        ]
+            # Column hat weights for this tap's n_w shifts: pure
+            # elementwise VPU ops on the lane-resident DX array (python
+            # scalars are weak-typed, so the math stays in cdt).
+            wxs = [
+                jnp.maximum(0.0, 1.0 - jnp.abs(dx - float(lo + jj)))
+                for jj in range(n_w)
+            ]
 
         sampled_ref[:] = jnp.zeros((h, wb, cp), jnp.float32)
 
@@ -186,24 +201,28 @@ def _dcn_kernel(
         # major dim are cheap); the column shifts stay unrolled but read
         # the pre-rotated copies — no data movement inside the loop.
         def row_shift(i, _):
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - (lo + i)))
+            if const_hat:
+                wy = jnp.asarray(1.0 / n_w, cdt)
+            else:
+                wy = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dy - (lo + i).astype(cdt))
+                )
             row = pl.ds(halo + base_y + lo + i, h)
             tmp = None
             for jj in range(n_w):
                 j = (base_x + lo - sx_lo) + jj
                 term = wxs[jj] * xrot_ref[j, row, :, :]
                 tmp = term if tmp is None else tmp + term
-            sampled_ref[:] += wy * tmp
+            sampled_ref[:] += (wy * tmp).astype(jnp.float32)
             return 0
 
         jax.lax.fori_loop(0, n_w, row_shift, 0)
 
         sampled = sampled_ref[:]
         if use_mask:
-            use_mask_plane = True
             sampled = sampled * lane_plane(
-                [p * kk + tap for p in range(n_pack)]
-            )
+                [p * kk + tap for p in range(n_pack)], use_mask_plane=True,
+            ).astype(jnp.float32)
 
         acc_ref[:] += jax.lax.dot_general(
             sampled.reshape(h * wb, cp).astype(weight_ref.dtype),
@@ -218,7 +237,9 @@ def _dcn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("padding", "max_offset", "cols_per_block", "interpret"),
+    static_argnames=(
+        "padding", "max_offset", "cols_per_block", "interpret", "variant",
+    ),
 )
 def deform_conv2d_pallas(
     x: jnp.ndarray,
@@ -230,6 +251,7 @@ def deform_conv2d_pallas(
     max_offset: float = 3,
     cols_per_block: int = 16,
     interpret: bool = False,
+    variant: str = "full",
 ) -> jnp.ndarray:
     """Drop-in for ``deform_conv2d_shift`` (stride 1, dilation 1).
 
@@ -238,6 +260,10 @@ def deform_conv2d_pallas(
       row-major; mask: optional [B, H, W, K*K] (sigmoided); weight:
       [Kh, Kw, C, O]; bias: [O]; max_offset: exactness radius (may be
       fractional — the shift window is [-ceil(r), floor(r) + 1]).
+      variant: "full" (f32 hats, the exactness-tested path), "bf16_hat"
+      (sampling arithmetic in bf16 — 2x VPU rate, measured decoded
+      impact recorded in BENCH.md), "const_hat" (scalar hat weights —
+      a measurement rung isolating hat/broadcast cost, NOT DCN math).
     Returns [B, H, W, O] in x.dtype.
     """
     b, h, w, c = x.shape
@@ -308,9 +334,10 @@ def deform_conv2d_pallas(
 
     kernel = functools.partial(
         _dcn_kernel, wb=wb, halo=halo, kk=kk, lo=lo, hi=hi,
-        n_pack=n_pack, c_real=c_real, use_mask=use_mask,
+        n_pack=n_pack, c_real=c_real, use_mask=use_mask, variant=variant,
     )
     n_sx = 2 * padding + (hi - lo + 1)
+    hat_dtype = jnp.bfloat16 if variant == "bf16_hat" else jnp.float32
 
     out = pl.pallas_call(
         kernel,
@@ -338,7 +365,7 @@ def deform_conv2d_pallas(
         out_shape=jax.ShapeDtypeStruct((bk, h, w_pad, ok), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((h + 2 * halo, wb_halo, c_pad), x.dtype),
-            pltpu.VMEM((n_sx, h + 2 * halo, wb, c_pad), jnp.float32),
+            pltpu.VMEM((n_sx, h + 2 * halo, wb, c_pad), hat_dtype),
             pltpu.VMEM((h, wb, c_pad), jnp.float32),
             pltpu.VMEM((h * wb, ok), jnp.float32),
             pltpu.SemaphoreType.DMA(()),

@@ -147,6 +147,42 @@ def test_deform_conv_pallas_batch_pair_packing():
     )
 
 
+def test_deform_conv_pallas_bf16_hat_variant():
+    """The bf16-hat VPU-economy variant stays within bf16 sampling
+    noise of the gather reference (the f32-hat path stays exact; this
+    rung trades ~1e-2 absolute feature error for 2x VPU rate —
+    decoded-level impact measured on chip, BENCH.md)."""
+    from tauv_vision_tpu.ops.deform_conv import deform_conv2d
+    from tauv_vision_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
+
+    rng = np.random.default_rng(7)
+    b, h, w, c, o, r = 2, 11, 16, 8, 8, 1
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    offset = jnp.asarray(
+        rng.uniform(-r, r, (b, h, w, 18)).astype(np.float32)
+    )
+    mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, 9)).astype(np.float32))
+    weight = jnp.asarray(
+        (rng.standard_normal((3, 3, c, o)) * 0.2).astype(np.float32)
+    )
+    ref = deform_conv2d(x, offset, mask, weight, None, stride=1, padding=1)
+    got = deform_conv2d_pallas(
+        x, offset, mask, weight, None, padding=1, max_offset=r,
+        cols_per_block=8, interpret=True, variant="bf16_hat",
+    )
+    # bf16 hats: ~8-bit mantissa on weights in [0, 1] + bf16 shifted
+    # reads -> absolute error ~1e-2 on unit-variance inputs.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0.1, atol=5e-2
+    )
+    # const_hat is a measurement rung: runs, right shape, finite.
+    g = deform_conv2d_pallas(
+        x, offset, mask, weight, None, padding=1, max_offset=r,
+        cols_per_block=8, interpret=True, variant="const_hat",
+    )
+    assert g.shape == ref.shape and bool(jnp.isfinite(g).all())
+
+
 def test_deform_conv_pallas_fractional_radius():
     """max_offset=0.5 (the bounded-offset serving config) uses a 3x3
     shift window and stays exact for |offset| <= 0.5."""
