@@ -156,21 +156,84 @@ def _dcn_kernel(
     def lane_plane(channels, use_mask_plane=False):
         """Broadcast per-pack [H, wb] offset/mask planes over the
         channel lanes each pack occupies: ONE relayout per tap instead
-        of one per (tap, shift)."""
+        of one per (tap, shift).  The pack mux runs in f32 — Mosaic
+        cannot relayout the i1 select mask for 16-bit vectors — and
+        casts to the compute dtype at the end."""
         planes = [
             jnp.broadcast_to(
                 offset[:, :, ch][:, :, None]
                 if not use_mask_plane else mask[:, :, ch][:, :, None],
                 (h, wb, cp),
-            ).astype(cdt)
+            ).astype(jnp.float32)
             for ch in channels
         ]
         out = planes[0]
         for p in range(1, n_pack):
             out = jnp.where(lane < p * c_real, out, planes[p])
-        return out
+        return out.astype(cdt)
 
     const_hat = variant == "const_hat"
+
+    if variant == "lerp":
+        # Sign-selected lerp formulation, exact for |offset| <= 1:
+        # for d in [-1, 1] the bilinear neighbors are {0, sign(d)} with
+        # weights {1 - |d|, |d|}, so each axis is ONE per-pixel select
+        # between two static shifts plus one lerp — the per-tap cost is
+        # constant in the radius (the hat window pays (2R+2)^2 FMAs).
+        for tap in range(kk):
+            ky, kx = tap // k, tap % k
+            base_y = ky - pad
+            base_x = kx - pad
+            j0 = base_x - sx_lo
+
+            dy = lane_plane([p * 2 * kk + 2 * tap for p in range(n_pack)])
+            dx = lane_plane(
+                [p * 2 * kk + 2 * tap + 1 for p in range(n_pack)]
+            )
+            ax = jnp.abs(dx)
+            ay = jnp.abs(dy)
+            negx = dx < 0.0
+            negy = dy < 0.0
+
+            r0 = pl.ds(halo + base_y, h)
+            rm1 = pl.ds(halo + base_y - 1, h)
+            rp1 = pl.ds(halo + base_y + 1, h)
+
+            t00 = xrot_ref[j0, r0, :, :]
+            t0s = jnp.where(
+                negx, xrot_ref[j0 - 1, r0, :, :], xrot_ref[j0 + 1, r0, :, :]
+            )
+            lerp0 = t00 + ax * (t0s - t00)
+
+            ts0 = jnp.where(
+                negy, xrot_ref[j0, rm1, :, :], xrot_ref[j0, rp1, :, :]
+            )
+            tss = jnp.where(
+                negy,
+                jnp.where(negx, xrot_ref[j0 - 1, rm1, :, :],
+                          xrot_ref[j0 + 1, rm1, :, :]),
+                jnp.where(negx, xrot_ref[j0 - 1, rp1, :, :],
+                          xrot_ref[j0 + 1, rp1, :, :]),
+            )
+            lerps = ts0 + ax * (tss - ts0)
+
+            sampled = lerp0 + ay * (lerps - lerp0)
+            if use_mask:
+                sampled = sampled * lane_plane(
+                    [p * kk + tap for p in range(n_pack)],
+                    use_mask_plane=True,
+                ).astype(jnp.float32)
+
+            acc_ref[:] += jax.lax.dot_general(
+                sampled.reshape(h * wb, cp).astype(weight_ref.dtype),
+                weight_ref[tap],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        out = acc_ref[:] + bias_ref[0][None, :]
+        out_ref[0] = out.reshape(h, wb, -1).astype(out_ref.dtype)
+        return
 
     for tap in range(kk):
         ky, kx = tap // k, tap % k
@@ -260,12 +323,20 @@ def deform_conv2d_pallas(
       row-major; mask: optional [B, H, W, K*K] (sigmoided); weight:
       [Kh, Kw, C, O]; bias: [O]; max_offset: exactness radius (may be
       fractional — the shift window is [-ceil(r), floor(r) + 1]).
-      variant: "full" (f32 hats, the exactness-tested path), "bf16_hat"
-      (sampling arithmetic in bf16 — 2x VPU rate, measured decoded
-      impact recorded in BENCH.md), "const_hat" (scalar hat weights —
-      a measurement rung isolating hat/broadcast cost, NOT DCN math).
+      variant: "full" (f32 hats, the exactness-tested path), "lerp"
+      (sign-selected lerp, EXACT for max_offset <= 1 with per-tap cost
+      constant in the radius — the fast bounded-serving path),
+      "bf16_hat" (sampling arithmetic in bf16 — measured SLOWER on
+      chip: the VPU computes in f32 and the converts dominate),
+      "const_hat" (scalar hat weights — a measurement rung isolating
+      hat/broadcast cost, NOT DCN math).
     Returns [B, H, W, O] in x.dtype.
     """
+    if variant == "lerp":
+        assert max_offset <= 1, (
+            "the lerp formulation is exact only for |offset| <= 1; use "
+            "variant='full' for larger radii"
+        )
     b, h, w, c = x.shape
     kh, kw, _, out_c = weight.shape
     assert kh == kw and padding == kh // 2, "stem configuration only"

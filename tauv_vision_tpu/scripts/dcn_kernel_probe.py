@@ -35,7 +35,13 @@ SHAPES = [
     (90, 160, 64, 64, 1.0),
 ]
 
-VARIANTS = ("full", "bf16_hat", "const_hat")
+VARIANTS = ("full", "lerp", "const_hat")
+# Round-1 decomposition at r=0.5 (this chip): full 20.25 ms, bf16_hat
+# 28.05 ms (SLOWER — the VPU computes in f32, the converts dominate;
+# arm dropped), const_hat 12.75 ms (hat math + offset broadcasts are
+# ~37%; the FMA core + rotations + matmuls carry the rest).  "lerp"
+# (sign-selected bilinear, exact for |d| <= 1, per-tap cost constant
+# in radius) replaces the hat window entirely.
 
 
 def main() -> None:
