@@ -449,6 +449,9 @@ class DeformConvBlock(nn.Module):
                 bias,
                 padding=1,
                 max_offset=self.dcn_max_offset,
+                # Sign-selected lerp: exact for radii <= 1 and ~6x
+                # faster than the hat window on chip (BENCH.md).
+                variant="lerp" if self.dcn_max_offset <= 1 else "full",
             )
         elif self.dcn_impl == "shift":
             out = deform_conv2d_shift(
