@@ -111,7 +111,10 @@ def main():
                for i in range(cfg.n_masknet_layers_post_upsample)]
             + ["protonet/output"]
         )
-        stop = next(i for i, p in enumerate(chain) if until in p)
+        stop = next(
+            i for i, p in enumerate(chain)
+            if p == until or p.endswith("/" + until)
+        )
         x = fpn0
         for i, path in enumerate(chain[:stop + 1]):
             next_path = chain[i + 1] if i + 1 < len(chain) else None
@@ -128,6 +131,18 @@ def main():
 
     forward = yolact_chain_forward(cfg, variables, scales)
 
+    def sum_all(tree):
+        """Scalar summing EVERY output leaf, so no branch is DCE'd.
+
+        Mirrors bench.py's time_chained rule: a stage that returns a
+        single field lets XLA dead-code-eliminate every sibling branch
+        (e.g. returning .classification drops the whole protonet).
+        """
+        return sum(
+            leaf.astype(jnp.float32).sum()
+            for leaf in jax.tree_util.tree_leaves(tree)
+        )
+
     stages = (
         ("preprocess", lambda f: pre(f)),
         ("+stem conv (bf16)",
@@ -139,7 +154,7 @@ def main():
         ("+layer2", lambda f: backbone_until(pre(f), 2)),
         ("+layer3", lambda f: backbone_until(pre(f), 3)),
         ("+layer4", lambda f: backbone_until(pre(f), 4)),
-        ("+fpn", lambda f: fpn_of(pre(f))[-1]),
+        ("+fpn", lambda f: sum_all(fpn_of(pre(f)))),
         ("+proto pre", lambda f: proto_until(fpn_of(pre(f))[0], "pre_0")),
         ("+proto up1", lambda f: proto_until(fpn_of(pre(f))[0],
                                              "upsample_1")),
@@ -148,7 +163,7 @@ def main():
                                              "upsample_2")),
         ("+proto post", lambda f: proto_until(fpn_of(pre(f))[0], "post_0")),
         ("+proto out", lambda f: proto_until(fpn_of(pre(f))[0], "output")),
-        ("full fwd (proto+heads)", lambda f: forward(pre(f)).classification),
+        ("full fwd (proto+heads)", lambda f: sum_all(forward(pre(f)))),
     )
 
     def timeit(fn, *args, n=6, reps=2):
