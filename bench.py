@@ -1292,6 +1292,14 @@ def main():
     # graph sharing the 480->360 resize (make_combined_pipeline,
     # bit-identical outputs to the separate dispatches).
     north_star = "--north-star" in sys.argv
+    # Round 4 measured and KILLED the planned --north-star-v2 variant
+    # (CN chain float + int8 IDA/DLAup aggregation + f32 heads): on 512
+    # images vs the bf16 float path even the cheapest CN int8 rung
+    # (dlaup-int8, 12 convs) fails the size bar (p95 1.65e-3), and f32
+    # heads move nothing (the bf16-vs-f32 drift is trunk feature noise,
+    # not head rounding — quantize_accuracy_check tenth ladder,
+    # BENCH.md round-4 section).  CenterNet therefore stays all-bf16 in
+    # the north-star config; there is no v2.
     if north_star:
         parity = True
     # Default tail = the winning sweep rung (quantize_accuracy_check

@@ -213,6 +213,41 @@ SWEEP_LADDER = (
     # context every chain rung's number must be read against.
     ("flax-bf16", dict(per_channel=True, bias_correct=False, strip=(),
                        flax_bf16=True)),
+    # Tenth ladder (round 4): served-dtype rungs for the north-star
+    # config (VERDICT r3 items 2+3).  The bf16 pipeline's own decoded
+    # scores sit ~2.25e-3 off the f32 forward (context rung above), so
+    # NO all-bf16 config can claim <=1e-3 against the f32 reference on
+    # scores.  These rungs, read with --baseline f32, decompose that
+    # drift (head rounding vs trunk feature noise) and test whether
+    # int8 IDA/DLAup — the largest below-roofline CN stage, 15.0 ms of
+    # the 54.8 ms bf16 profile at ~63% MXU (BENCH.md) — survives the
+    # bar when ONLY it is quantized.  "base" strips every trunk conv
+    # (level0..5 paths live under model/base/), "head_" the heads.
+    ("float-f32heads",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "base", "ida_up", "dla_up"),
+          f32=("head_",))),
+    ("ida-int8",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "base"))),
+    ("ida-int8+f32heads",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "base"), f32=("head_",))),
+    ("dlaup-int8+f32heads",  # ida_up (the final stage) stays bf16
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "base", "model/ida_up"), f32=("head_",))),
+    # DLAUp's 12 aggregation convs int8, everything else bf16, no f32
+    # upcast (the f32-heads rung measured NULL — trunk feature noise
+    # dominates the bf16-vs-f32 drift, so upcasting heads buys nothing
+    # and costs ms).  MEASURED VERDICT (round 4, 512 images, vs the
+    # bf16 float path): score p95 9.9e-4 / center 3.2e-5 PASS, but
+    # size p95 1.65e-3 FAILS the 1e-3 bar — consistent with round 3's
+    # finding that ANY int8 in the CN graph breaks the size head.  The
+    # north-star config keeps CenterNet all-bf16; this rung is the
+    # recorded cheapest-failure point (BENCH.md round-4 ladder).
+    ("dlaup-int8",
+     dict(per_channel=True, bias_correct=False,
+          strip=("head_", "base", "model/ida_up"))),
 )
 
 
@@ -290,8 +325,11 @@ def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
             scales = {}
             dets = collect(jax.jit(raw_pipeline))
         else:
-            print(f"rung {name}: {len(scales)} int8 convs...", flush=True)
-            dets = collect(make_chain_fn(scales, corr, gains, ranges, wq))
+            f32 = cfg.get("f32", ())
+            print(f"rung {name}: {len(scales)} int8 convs"
+                  f"{f' (f32: {f32})' if f32 else ''}...", flush=True)
+            dets = collect(make_chain_fn(scales, corr, gains, ranges, wq,
+                                         f32_paths=f32))
         stats = pair_deltas(dets_bf16, dets)
         stats["name"] = name
         stats["int8_convs"] = len(scales)
@@ -719,11 +757,12 @@ def main(argv=None):
     )
 
     def make_chain_fn(scales, corrections=None, gains=None, ranges=None,
-                      wq_override=None, variables=None):
+                      wq_override=None, variables=None, f32_paths=()):
         chain_forward = dla34_chain_forward(
             object_config, variables if variables is not None else trained,
             scales, corrections=corrections,
             gains=gains, ranges=ranges, wq_override=wq_override,
+            f32_paths=f32_paths,
         )
 
         def chain_pipeline(frames_uint8):

@@ -45,6 +45,21 @@ LADDER = (
     ("pc+outputs+backbone",
      ("prediction_head/classification", "prediction_head/box",
       "prediction_head/mask", "protonet/output", "backbone/")),
+    # Round-4 served-dtype rungs (VERDICT r3 item 2).  Entries may carry
+    # a third element: path substrings whose convs run in FLOAT32 (the
+    # decode-facing outputs).  Read against --baseline f32: the bf16
+    # pipeline's own score rounding is the context (flax-bf16 rung).
+    ("flax-bf16", (), (), "flax_bf16"),
+    # The passing int8 rung (whole head + proto output bf16) with those
+    # same convs upgraded to f32 — the north-star YOLACT candidate.
+    ("pc+f32head",
+     ("prediction_head", "protonet/output"),
+     ("prediction_head", "protonet/output")),
+    # No int8 anywhere, f32 head + proto output: isolates the trunk's
+    # bf16 feature noise from head rounding.
+    ("float+f32head",
+     ("backbone", "fpn", "protonet", "prediction_head"),
+     ("prediction_head", "protonet/output")),
 )
 
 
@@ -137,6 +152,11 @@ def main(argv=None):
     parser.add_argument("--save-model", default=None)
     parser.add_argument("--load-model", default=None)
     parser.add_argument("--out", default=None)
+    parser.add_argument("--baseline", choices=("bf16", "f32"),
+                        default="bf16",
+                        help="f32: compare rungs against the float32 "
+                        "pipeline (the served-dtype certification frame; "
+                        "VERDICT r3 item 2)")
     args = parser.parse_args(argv)
 
     import pathlib
@@ -245,6 +265,14 @@ def main(argv=None):
                              top_k=20, iou_threshold=0.5,
                              confidence_threshold=0.5)
 
+    model_f32 = Yolact(model_config, dtype=jnp.float32)
+
+    def f32_pipeline(frames_uint8):
+        img = frames_uint8.astype(jnp.float32) / 255.0
+        return decode_yolact(model_f32.apply(trained, img, train=False),
+                             model_config, top_k=20, iou_threshold=0.5,
+                             confidence_threshold=0.5)
+
     eval_rng = np.random.default_rng(2024)
     eval_frames = []
     for _ in range(args.eval_batches):
@@ -260,19 +288,38 @@ def main(argv=None):
             out.append(jax.tree_util.tree_map(np.asarray, d))
         return out
 
-    print("decoding bf16 reference...", flush=True)
-    dets_bf16 = collect(jax.jit(raw_pipeline))
+    print(f"decoding {args.baseline} reference...", flush=True)
+    dets_bf16 = collect(jax.jit(
+        f32_pipeline if args.baseline == "f32" else raw_pipeline
+    ))
 
     print("calibrating (per-channel)...", flush=True)
     cal = [f[: args.cal_frames] for f in eval_frames[:1]]
     scales_pc = calibrate(raw_forward, cal, per_channel=True)
 
     rows = []
-    for name, strip in LADDER:
+    for entry in LADDER:
+        name, strip = entry[0], entry[1]
+        f32_paths = entry[2] if len(entry) > 2 else ()
         if args.rungs is not None and name not in args.rungs:
             continue
+        if len(entry) > 3 and entry[3] == "flax_bf16":
+            print("rung flax-bf16 (serving pipeline, no chain)...",
+                  flush=True)
+            dets = collect(jax.jit(raw_pipeline))
+            stats = pair_deltas(dets_bf16, dets)
+            stats["name"] = name
+            stats["int8_convs"] = 0
+            rows.append(stats)
+            print(f"  score_p95={stats.get('score_delta_p95')}"
+                  f" center_p95={stats.get('center_delta_p95')}"
+                  f" size_p95={stats.get('size_delta_p95')}"
+                  f" mask_iou={stats.get('mask_iou_mean')}"
+                  f" le_1e3={stats.get('all_deltas_le_1e3')}", flush=True)
+            continue
         scales = strip_scales(scales_pc, strip) if strip else scales_pc
-        fwd = yolact_chain_forward(model_config, trained, scales)
+        fwd = yolact_chain_forward(model_config, trained, scales,
+                                   f32_paths=f32_paths)
 
         def chain_pipeline(frames_uint8):
             img = frames_uint8.astype(jnp.bfloat16) / 255.0
@@ -280,7 +327,9 @@ def main(argv=None):
                                  iou_threshold=0.5,
                                  confidence_threshold=0.5)
 
-        print(f"rung {name}: {len(scales)} int8 convs...", flush=True)
+        print(f"rung {name}: {len(scales)} int8 convs"
+              f"{f' (f32: {f32_paths})' if f32_paths else ''}...",
+              flush=True)
         dets = collect(jax.jit(chain_pipeline))
         stats = pair_deltas(dets_bf16, dets)
         stats["name"] = name

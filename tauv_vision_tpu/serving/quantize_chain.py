@@ -159,11 +159,23 @@ class ChainCtx:
                  corrections: Optional[Dict[str, np.ndarray]] = None,
                  gains: Optional[Dict[str, np.ndarray]] = None,
                  ranges: Optional[Dict[str, tuple]] = None,
-                 wq_override: Optional[Dict[str, tuple]] = None):
+                 wq_override: Optional[Dict[str, tuple]] = None,
+                 f32_paths: Tuple[str, ...] = ()):
         self.params = variables["params"]
         self.stats = variables.get("batch_stats", {})
         self.scales = scales
         self.dtype = dtype
+        # Path substrings whose UNCALIBRATED convs run in float32
+        # instead of ``dtype``.  Built to test whether upcasting the
+        # decode-facing head convs buys score parity at the served
+        # dtype (VERDICT r3 item 2); the round-4 tenth ladder measured
+        # the answer as NO — f32 heads move the decoded deltas vs the
+        # f32 pipeline by <2% (score p95 2.25e-3 -> 2.22e-3 over 512
+        # images) because the bf16-vs-f32 drift is trunk feature
+        # noise, not head logit rounding (BENCH.md round-4 section).
+        # Kept as the measurement capability behind the ladder's
+        # *-f32heads rungs.
+        self.f32_paths = tuple(f32_paths)
         self.corrections = corrections or {}
         self.gains = gains or {}
         # {path: (min[C], max[C])} from quantize.calibrate_range —
@@ -359,8 +371,13 @@ class ChainCtx:
             assert inp.dtype != jnp.int8, (
                 f"producer emitted int8 but {path} is uncalibrated"
             )
-            xf = inp.astype(self.dtype)
-            k = p["kernel"].astype(self.dtype)
+            dt = (
+                jnp.float32
+                if any(sub in path for sub in self.f32_paths)
+                else self.dtype
+            )
+            xf = inp.astype(dt)
+            k = p["kernel"].astype(dt)
             y = jax.lax.conv_general_dilated(
                 xf, k, window_strides=tuple(strides), padding=padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -620,7 +637,8 @@ def prediction_head_chain(
 
 def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
                          dtype=jnp.bfloat16, corrections=None, gains=None,
-                         ranges=None, wq_override=None, ctx=None):
+                         ranges=None, wq_override=None, ctx=None,
+                         f32_paths=()):
     """Returns ``fn(img) -> YolactPrediction`` running the chain-int8
     YOLACT forward (models/yolact.py:50-116)."""
     from tauv_vision_tpu.models.yolact import YolactPrediction
@@ -630,7 +648,7 @@ def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
     if ctx is None:
         ctx = ChainCtx(variables, scales, dtype=dtype,
                        corrections=corrections, gains=gains, ranges=ranges,
-                       wq_override=wq_override)
+                       wq_override=wq_override, f32_paths=f32_paths)
     anchor = jnp.asarray(
         get_all_anchors(cfg.in_h, cfg.in_w, cfg.n_fpn_levels,
                         cfg.anchor_scales, cfg.anchor_aspect_ratios)
@@ -842,7 +860,7 @@ def _ida_stage_chain(ctx: ChainCtx, layers, prefix: str, up_factors):
 def dla34_chain_forward(object_config, variables,
                         scales: Dict[str, float], dtype=jnp.bfloat16,
                         corrections=None, gains=None, ranges=None,
-                        wq_override=None, ctx=None):
+                        wq_override=None, ctx=None, f32_paths=()):
     """Chain-int8 CenterpointDLA34 forward (plain-conv IDA, the bench
     serving configuration) -> Prediction (models/centerpoint_dla.py
     DLASeg + CenterpointDLA34)."""
@@ -853,7 +871,7 @@ def dla34_chain_forward(object_config, variables,
     if ctx is None:
         ctx = ChainCtx(variables, scales, dtype=dtype,
                        corrections=corrections, gains=gains, ranges=ranges,
-                       wq_override=wq_override)
+                       wq_override=wq_override, f32_paths=f32_paths)
     oc = object_config
     head_channels = get_head_channels(oc)
     first_level = 2  # down_ratio 4
