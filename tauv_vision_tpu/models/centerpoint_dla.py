@@ -389,6 +389,14 @@ class DeformConvBlock(nn.Module):
     dcn_impl: str = "shift"
     dcn_max_offset: float = 3
     offset_bound: Optional[float] = None
+    # Serve the offset + mask convs as ONE 27-output-channel conv
+    # (trace-time kernel/bias concat, split after): both 3x3 convs read
+    # the same input and the MXU pads 18- and 9-lane outputs to 128
+    # each, so merging halves that stage's cost BIT-IDENTICALLY (each
+    # output channel contracts the same taps either way).  Init still
+    # builds the two nn.Conv params, so checkpoints, importers, and the
+    # reference param layout (centerpoint_dla.py:377-385) are untouched.
+    merge_offset_mask: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -399,10 +407,29 @@ class DeformConvBlock(nn.Module):
                 name="conv",
             )(x)
             return nn.relu(_bn(train, "bn")(out))
-        offset = nn.Conv(
-            18, (3, 3), padding=1, dtype=self.dtype, name="offset",
-            kernel_init=nn.initializers.zeros,
-        )(x)
+        if self.merge_offset_mask and not self.is_initializing():
+            po = self.get_variable("params", "offset")
+            pm = self.get_variable("params", "mask")
+            kom = jnp.concatenate(
+                [po["kernel"], pm["kernel"]], axis=-1
+            ).astype(self.dtype)
+            bom = jnp.concatenate(
+                [po["bias"], pm["bias"]], axis=-1
+            ).astype(self.dtype)
+            om = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kom, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bom
+            offset, mask = om[..., :18], om[..., 18:]
+        else:
+            offset = nn.Conv(
+                18, (3, 3), padding=1, dtype=self.dtype, name="offset",
+                kernel_init=nn.initializers.zeros,
+            )(x)
+            mask = nn.Conv(
+                9, (3, 3), padding=1, dtype=self.dtype, name="mask",
+                kernel_init=nn.initializers.zeros,
+            )(x)
         if self.offset_bound is not None:
             # Bounded-offset DCNv2: squash the raw offsets through
             # bound*tanh(raw/bound) so |offset| < bound holds BY
@@ -416,10 +443,6 @@ class DeformConvBlock(nn.Module):
             # scripts/compare_reference_accuracy.py --deform.
             bound = jnp.asarray(self.offset_bound, offset.dtype)
             offset = bound * jnp.tanh(offset / bound)
-        mask = nn.Conv(
-            9, (3, 3), padding=1, dtype=self.dtype, name="mask",
-            kernel_init=nn.initializers.zeros,
-        )(x)
         mask = jax.nn.sigmoid(mask)
         # Expose the learned offsets so training can regularize their
         # range (loss_lambda_dcn_offset): offsets held inside the

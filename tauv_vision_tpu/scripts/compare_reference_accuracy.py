@@ -432,6 +432,12 @@ def main(argv=None):
              "the same data",
     )
     parser.add_argument("--out", default=None, help="JSON result path")
+    parser.add_argument(
+        "--bootstrap", type=int, default=0,
+        help="bootstrap resamples over eval images for AP 95%% CIs "
+             "(VERDICT r3 item 5's production-scale protocol; same "
+             "image-resampling scheme as quantize_accuracy_check)",
+    )
     args = parser.parse_args(argv)
     if args.cpu:
         _force_cpu()
@@ -474,8 +480,17 @@ def main(argv=None):
     if args.deform:
         result["reference_model"] = "CenterpointDLA34 (DCN-IDA)"
         result["rebuild_model"] = "CenterpointDLA34 (plain-conv IDA)"
+    boot_rng = np.random.default_rng(42)
     for iou in (0.3, 0.5):
         match = iou_match(iou)
+
+        def ap_of(indices, dets):
+            _, precision, recall = precision_recall_curve(
+                [dets[i] for i in indices], [truths[i] for i in indices],
+                match,
+            )
+            return average_precision(precision, recall)
+
         for name, dets in (("reference", ref_dets), ("rebuild", our_dets)):
             _, precision, recall = precision_recall_curve(dets, truths, match)
             ap = average_precision(precision, recall)
@@ -483,6 +498,19 @@ def main(argv=None):
             result[f"{name}_max_recall_iou{iou}"] = round(
                 float(recall.max()), 4
             )
+            if args.bootstrap:
+                # Resample IMAGES (AP is a statistic of the image set).
+                aps = [
+                    ap_of(
+                        boot_rng.integers(0, len(truths), len(truths)),
+                        dets,
+                    )
+                    for _ in range(args.bootstrap)
+                ]
+                result[f"{name}_ap_iou{iou}_ci95"] = [
+                    round(float(np.percentile(aps, 2.5)), 4),
+                    round(float(np.percentile(aps, 97.5)), 4),
+                ]
     print(json.dumps(result, indent=2))
     if args.out:
         with open(args.out, "w") as fp:

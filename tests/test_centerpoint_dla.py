@@ -143,3 +143,39 @@ def test_centerpoint_dla34_prediction_shapes():
     assert pred.roll_bin is None
     # Focal bias init on both heatmap heads.
     assert float(jax.nn.sigmoid(pred.heatmap).mean()) < 0.4
+
+
+def test_merged_offset_mask_bit_identical():
+    """DeformConvBlock(merge_offset_mask=True) — the serving default,
+    one 27-channel conv for offset+mask — must be BIT-identical to the
+    two-conv form (each output channel contracts the same taps; only
+    the MXU lane padding changes).  Randomized params so the zero init
+    doesn't mask a kernel-ordering bug."""
+    from tauv_vision_tpu.models.centerpoint_dla import DeformConvBlock
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 10, 16)), jnp.float32)
+    block = DeformConvBlock(
+        out_channels=12, deform=True, dcn_impl="gather",
+        offset_bound=1.0, merge_offset_mask=True,
+    )
+    variables = block.init(jax.random.key(0), x, train=False)
+    variables = {
+        "params": jax.tree_util.tree_map(
+            lambda v: jnp.asarray(
+                rng.standard_normal(v.shape) * 0.1, v.dtype
+            ),
+            variables["params"],
+        ),
+        # batch_stats stay at init (var must remain positive).
+        **{k: v for k, v in variables.items() if k != "params"},
+    }
+    block_two = DeformConvBlock(
+        out_channels=12, deform=True, dcn_impl="gather",
+        offset_bound=1.0, merge_offset_mask=False,
+    )
+    merged = block.apply(variables, x, train=False)
+    two = block_two.apply(variables, x, train=False)
+    assert jnp.array_equal(merged, two), float(
+        jnp.max(jnp.abs(merged - two))
+    )
