@@ -1269,9 +1269,8 @@ def main():
     # links, BN folded into the requant epilogue.  --per-layer-int8
     # selects the interceptor-based per-layer path (serving/quantize.py);
     # --bf16 the exact-parity float path (the one the 1e-3
-    # reference-parity tests cover).  The chain path requires the
-    # no-deform CenterNet (the DCN paths serve via --per-layer-int8 or
-    # --bf16).
+    # reference-parity tests cover).  Round 4: the chain path covers
+    # --deform too (int8 trunk + bf16 bounded-DCN IDA stages).
     int8 = "--bf16" not in sys.argv
     # --parity-int8: the decoded-parity serving profile — per-channel
     # activation scales folded into the weights, per-output-channel bias
@@ -1324,7 +1323,13 @@ def main():
     # quantization error included.  Folds into the existing epilogue
     # multiply-add, so it costs no serving time.
     seq_correct = "--seq-correct" in sys.argv
-    chain = int8 and not deform and "--per-layer-int8" not in sys.argv
+    # Chain-int8 now covers --deform too (round 4, VERDICT r3 item 4):
+    # the DCN-IDA graph serves with an int8 trunk via
+    # dla34_chain_forward(deform=True) — DCN stages stay bf16 (the
+    # Pallas kernel is VPU-sampling-bound at the measured roof; int8
+    # buys nothing inside it), but the trunk's conv->conv links drop
+    # the per-layer interceptor's double buffers.
+    chain = int8 and "--per-layer-int8" not in sys.argv
     if chain:
         from tauv_vision_tpu.serving.quantize import strip_scales
         from tauv_vision_tpu.serving.quantize_chain import (
@@ -1333,7 +1338,8 @@ def main():
         )
 
         cn_scales = load_scales(
-            cn_raw, cn_vars, frames, f"centernet_b{batch_size}",
+            cn_raw, cn_vars, frames,
+            f"centernet{'_dcn' if deform else ''}_b{batch_size}",
             per_channel=parity,
         )
         yl_scales = load_scales(
@@ -1416,7 +1422,8 @@ def main():
         cn_q = make_centernet_chain_pipeline(
             cn_cfg, cn_model.object_config, cn_vars, cn_scales,
             n_detections=10, score_threshold=0.6, corrections=cn_corr,
-            gains=cn_gains,
+            gains=cn_gains, deform=deform, dcn_max_offset=dcn_max_offset,
+            offset_bound=dcn_max_offset if dcn_bound else None,
         )
         yl_q = make_yolact_chain_pipeline(
             yl_cfg, yl_vars, yl_scales, top_k=20, iou_threshold=0.5,
@@ -1483,7 +1490,9 @@ def main():
             else:
                 cn_fwd = dla34_chain_forward(
                     cn_model.object_config, cn_vars, cn_scales,
-                    corrections=cn_corr, gains=cn_gains,
+                    corrections=cn_corr, gains=cn_gains, deform=deform,
+                    dcn_max_offset=dcn_max_offset,
+                    offset_bound=dcn_max_offset if dcn_bound else None,
                 )
             yl_fwd = yolact_chain_forward(
                 yl_cfg, yl_vars, yl_scales, corrections=yl_corr,

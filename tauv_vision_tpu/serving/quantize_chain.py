@@ -160,7 +160,8 @@ class ChainCtx:
                  gains: Optional[Dict[str, np.ndarray]] = None,
                  ranges: Optional[Dict[str, tuple]] = None,
                  wq_override: Optional[Dict[str, tuple]] = None,
-                 f32_paths: Tuple[str, ...] = ()):
+                 f32_paths: Tuple[str, ...] = (),
+                 int8_transpose: Optional[str] = None):
         self.params = variables["params"]
         self.stats = variables.get("batch_stats", {})
         self.scales = scales
@@ -199,6 +200,14 @@ class ChainCtx:
         self.seq_mode: str = "affine"
         self.gains_out: Optional[Dict[str, np.ndarray]] = None
         self.corrections_out: Optional[Dict[str, np.ndarray]] = None
+        # int8 transposed convs (round 4): None keeps the bf16 dilated
+        # lowering (the certified-rung default until the ladder says
+        # otherwise); "pallas" serves calibrated k3s2 transposes through
+        # ops/pallas/transpose_conv (phase-exact int8 GEMMs + fused
+        # requant — ~2x the bf16 form's MXU rate and half its HBM write
+        # traffic on the protonet upsamples); "xla" the bit-identical
+        # int8-sim reference (CPU tests; slow on chip).
+        self.int8_transpose = int8_transpose
 
     def s(self, path: str) -> float:
         return self.scales[path]
@@ -270,6 +279,69 @@ class ChainCtx:
             padding = ((padding, padding), (padding, padding))
 
         quantized = False
+        if (
+            transpose
+            and self.int8_transpose
+            and path in self.scales
+            and path not in self.ranges
+            and p["kernel"].shape[:2] == (3, 3)
+            and bn_path is None
+            and act in (None, "leaky", "relu")
+        ):
+            # Round-4 int8 transpose: phase-exact int8 GEMMs with the
+            # dequant+bias+act+requant epilogue fused into the kernel
+            # (ops/pallas/transpose_conv.py).  The dilated bf16 form
+            # below sits at its zero-free roof; the int8 phase roof is
+            # ~2x lower and this lowering reaches it without the layout
+            # passes that killed every XLA-level int8 formulation.
+            from tauv_vision_tpu.ops.pallas.transpose_conv import (
+                phase_tap_matrices,
+                transpose_conv2x_int8_pallas,
+                transpose_conv2x_int8_xla,
+            )
+
+            s_in = self.s(path)
+            q = inp if inp.dtype == jnp.int8 else _quant(inp, s_in)
+            if path in self.wq_override:
+                qk = jnp.asarray(self.wq_override[path][0])
+                deq = jnp.asarray(self.wq_override[path][1])
+            elif _is_per_channel(s_in):
+                qk, deq = _wq(p["kernel"], in_scale=s_in)
+            else:
+                qk, w_scale = _wq(p["kernel"])
+                deq = s_in * w_scale
+            deq = jnp.broadcast_to(
+                jnp.asarray(deq, jnp.float32),
+                (p["kernel"].shape[-1],),
+            )
+            if path in self.gains:
+                deq = deq * jnp.asarray(self.gains[path], jnp.float32)
+            bias_eff = jnp.zeros_like(deq) if bias is None else bias
+            if path in self.corrections:
+                bias_eff = bias_eff + jnp.asarray(
+                    self.corrections[path], jnp.float32
+                )
+            emit_int8 = (
+                next_path is not None
+                and next_path in self.scales
+                and next_path not in self.ranges
+            )
+            out_scale = (
+                self.s(next_path) if emit_int8
+                else jnp.ones((), jnp.float32)
+            )
+            kwargs = dict(
+                act=act or "none",
+                out_dtype=jnp.int8 if emit_int8 else self.dtype,
+            )
+            if self.int8_transpose == "xla":
+                return transpose_conv2x_int8_xla(
+                    q, qk, deq, bias_eff, out_scale, **kwargs
+                )
+            return transpose_conv2x_int8_pallas(
+                q, phase_tap_matrices(qk), deq, bias_eff, out_scale,
+                **kwargs,
+            )
         if transpose:
             # Transposed convs stay bf16-dilated: measured on-chip, int8
             # never wins here (serving/quantize.py._should_quantize).
@@ -829,16 +901,91 @@ def _depthwise_upsample(ctx: ChainCtx, x, path: str, factor: int):
     )
 
 
-def _ida_stage_chain(ctx: ChainCtx, layers, prefix: str, up_factors):
-    """IDAUpStage (plain-conv DeformConvBlock path), chain-int8."""
+def _dcn_block_chain(ctx: ChainCtx, x, path: str, *,
+                     max_offset: float, offset_bound,
+                     dcn_impl: str = "pallas"):
+    """DeformConvBlock (deform=True) inside the chain: merged 27-lane
+    offset+mask conv (models/centerpoint_dla.DeformConvBlock's serving
+    form) -> bounded-offset Pallas DCN (lerp variant for radii <= 1) ->
+    flax-exact BN + relu.  The DCN stage itself stays bf16 — the kernel
+    is VPU-sampling-bound at the measured 1.2 Tel-ops/s roof (BENCH.md
+    "Deformable-conv serving"), so int8 buys nothing here; the chain's
+    win for --deform is keeping the TRUNK's activations int8 across
+    conv links instead of paying the per-layer interceptor's
+    bf16+int8-copy double buffer at every boundary.
+
+    ``dcn_impl`` mirrors DeformConvBlock.dcn_impl ("pallas" the serving
+    default; "shift" the XLA formulation, used by CPU tests where
+    Mosaic can't run)."""
+    p = _get(ctx.params, path)
+    xf = x.astype(ctx.dtype)
+    kom = jnp.concatenate(
+        [p["offset"]["kernel"], p["mask"]["kernel"]], axis=-1
+    ).astype(ctx.dtype)
+    bom = jnp.concatenate(
+        [p["offset"]["bias"], p["mask"]["bias"]], axis=-1
+    ).astype(ctx.dtype)
+    om = jax.lax.conv_general_dilated(
+        xf, kom, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bom
+    offset, mask = om[..., :18], om[..., 18:]
+    if offset_bound is not None:
+        bound = jnp.asarray(offset_bound, offset.dtype)
+        offset = bound * jnp.tanh(offset / bound)
+    mask = jax.nn.sigmoid(mask)
+    if dcn_impl == "pallas":
+        from tauv_vision_tpu.ops.pallas.deform_conv import (
+            deform_conv2d_pallas,
+        )
+
+        out = deform_conv2d_pallas(
+            xf,
+            offset.astype(jnp.float32),
+            mask.astype(jnp.float32),
+            p["weight"].astype(ctx.dtype),
+            p["bias"],
+            padding=1,
+            max_offset=max_offset,
+            variant="lerp" if max_offset <= 1 else "full",
+        )
+    else:
+        from tauv_vision_tpu.ops.deform_conv import deform_conv2d_shift
+
+        out = deform_conv2d_shift(
+            xf,
+            offset.astype(jnp.float32),
+            mask.astype(jnp.float32),
+            p["weight"].astype(ctx.dtype),
+            p["bias"],
+            padding=1,
+            max_offset=max_offset,
+        )
+    y = ctx.bn_exact(out, f"{path}/bn")
+    return jnp.maximum(y, jnp.zeros((), y.dtype))
+
+
+def _ida_stage_chain(ctx: ChainCtx, layers, prefix: str, up_factors,
+                     deform: bool = False, dcn_max_offset: float = 1.0,
+                     offset_bound=None, dcn_impl: str = "pallas"):
+    """IDAUpStage, chain-int8.  ``deform=False`` runs the plain-conv
+    DeformConvBlock path (the headline serving config); ``deform=True``
+    the bounded-DCN blocks via :func:`_dcn_block_chain`."""
     from tauv_vision_tpu.models.dla import pad_to_match
 
     layers = list(layers)
     for i in range(1, len(layers)):
-        projected = ctx.run_layer(
-            layers[i], f"{prefix}/proj_{i}/conv", padding=1,
-            bn_path=f"{prefix}/proj_{i}/bn", act="relu",
-        )
+        if deform:
+            projected = _dcn_block_chain(
+                ctx, layers[i], f"{prefix}/proj_{i}",
+                max_offset=dcn_max_offset, offset_bound=offset_bound,
+                dcn_impl=dcn_impl,
+            )
+        else:
+            projected = ctx.run_layer(
+                layers[i], f"{prefix}/proj_{i}/conv", padding=1,
+                bn_path=f"{prefix}/proj_{i}/bn", act="relu",
+            )
         if up_factors[i] > 1:
             upsampled = _depthwise_upsample(
                 ctx, projected, f"{prefix}/up_{i}", int(up_factors[i])
@@ -850,20 +997,34 @@ def _ida_stage_chain(ctx: ChainCtx, layers, prefix: str, up_factors):
             upsampled.astype(jnp.float32)
             + layers[i - 1].astype(jnp.float32)
         )
-        layers[i] = ctx.run_layer(
-            joined, f"{prefix}/node_{i}/conv", padding=1,
-            bn_path=f"{prefix}/node_{i}/bn", act="relu",
-        )
+        if deform:
+            layers[i] = _dcn_block_chain(
+                ctx, joined, f"{prefix}/node_{i}",
+                max_offset=dcn_max_offset, offset_bound=offset_bound,
+                dcn_impl=dcn_impl,
+            )
+        else:
+            layers[i] = ctx.run_layer(
+                joined, f"{prefix}/node_{i}/conv", padding=1,
+                bn_path=f"{prefix}/node_{i}/bn", act="relu",
+            )
     return layers
 
 
 def dla34_chain_forward(object_config, variables,
                         scales: Dict[str, float], dtype=jnp.bfloat16,
                         corrections=None, gains=None, ranges=None,
-                        wq_override=None, ctx=None, f32_paths=()):
-    """Chain-int8 CenterpointDLA34 forward (plain-conv IDA, the bench
-    serving configuration) -> Prediction (models/centerpoint_dla.py
-    DLASeg + CenterpointDLA34)."""
+                        wq_override=None, ctx=None, f32_paths=(),
+                        deform=False, dcn_max_offset: float = 1.0,
+                        offset_bound=None, dcn_impl: str = "pallas"):
+    """Chain-int8 CenterpointDLA34 forward -> Prediction
+    (models/centerpoint_dla.py DLASeg + CenterpointDLA34).
+
+    ``deform=False``: plain-conv IDA, the bench serving configuration.
+    ``deform=True``: the reference's DCN-IDA aggregation
+    (centerpoint_dla.py:360-392) with bounded offsets through the
+    Pallas kernel — int8 trunk + bf16 DCN stages (the round-4 chain
+    serving of ``bench.py --deform``, VERDICT r3 item 4)."""
     from tauv_vision_tpu.configs.centernet import get_head_channels
     from tauv_vision_tpu.models.centernet import Prediction
     from tauv_vision_tpu.models.centerpoint_dla import DLA34_CHANNELS
@@ -891,6 +1052,8 @@ def dla34_chain_forward(object_config, variables,
             updated = _ida_stage_chain(
                 ctx, layers[j:], f"model/dla_up/ida_{i}",
                 (scl[j:] // scl[j]).tolist(),
+                deform=deform, dcn_max_offset=dcn_max_offset,
+                offset_bound=offset_bound, dcn_impl=dcn_impl,
             )
             layers[j:] = updated
             scl[j + 1:] = scl[j]
@@ -898,7 +1061,11 @@ def dla34_chain_forward(object_config, variables,
 
         y = list(out[: last_level - first_level])
         up_factors = [2 ** i for i in range(last_level - first_level)]
-        y = _ida_stage_chain(ctx, y, "model/ida_up", up_factors)
+        y = _ida_stage_chain(ctx, y, "model/ida_up", up_factors,
+                             deform=deform,
+                             dcn_max_offset=dcn_max_offset,
+                             offset_bound=offset_bound,
+                             dcn_impl=dcn_impl)
         features = y[-1]
 
         outputs = []
@@ -949,6 +1116,8 @@ def make_centernet_chain_pipeline(
     model_config, object_config, variables, scales: Dict[str, float],
     n_detections: int = 10, score_threshold: float = 0.6,
     dtype=jnp.bfloat16, jit: bool = True, corrections=None, gains=None,
+    deform=False, dcn_max_offset: float = 1.0, offset_bound=None,
+    dcn_impl: str = "pallas",
 ):
     """uint8 frames -> decoded Detections via the chain-int8 DLA-34
     forward (drop-in for make_centernet_pipeline + quantized_call)."""
@@ -961,7 +1130,10 @@ def make_centernet_chain_pipeline(
 
     forward = dla34_chain_forward(object_config, variables, scales,
                                   dtype=dtype, corrections=corrections,
-                                  gains=gains)
+                                  gains=gains, deform=deform,
+                                  dcn_max_offset=dcn_max_offset,
+                                  offset_bound=offset_bound,
+                                  dcn_impl=dcn_impl)
 
     def pipeline(img_uint8):
         img = preprocess(

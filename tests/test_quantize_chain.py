@@ -292,6 +292,74 @@ def test_yolact_chain_float_path_bit_exact_bf16():
 
 
 @pytest.mark.slow
+def test_dla34_chain_dcn_matches_flax():
+    """Chain-DCN serving (dla34_chain_forward(deform=True)) vs the flax
+    DCN-IDA forward: with no calibrated scales the chain is the float
+    serving path, so the bounded-DCN blocks (merged 27-lane offset+mask
+    conv -> tanh bound -> sigmoid mask -> shift DCN -> BN -> relu) must
+    replicate DeformConvBlock bit-for-bit at bf16.  Guards the round-4
+    `bench.py --deform` chain configuration (reference backbone:
+    centerpoint_dla.py:360-392).  Uses dcn_impl='shift' (the XLA
+    formulation, exact for |offset| <= max_offset like the Pallas
+    serving kernel) so the test runs on the CPU suite."""
+    from math import pi
+
+    from tauv_vision_tpu.configs import (
+        AngleConfig,
+        ObjectConfig,
+        ObjectConfigSet,
+    )
+    from tauv_vision_tpu.models.centerpoint_dla import CenterpointDLA34
+    from tauv_vision_tpu.serving.quantize_chain import dla34_chain_forward
+
+    oc = ObjectConfigSet(configs=(ObjectConfig(
+        id="sq", yaw=AngleConfig(train=False, modulo=2 * pi),
+        pitch=AngleConfig(train=False, modulo=2 * pi),
+        roll=AngleConfig(train=False, modulo=2 * pi),
+        train_depth=False, train_keypoints=False, keypoints=None),))
+    model = CenterpointDLA34(
+        object_config=oc, dtype=jnp.bfloat16, deform=True,
+        dcn_impl="shift", dcn_max_offset=1.0, offset_bound=1.0,
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+
+    # The offset/mask convs init to zero (reference recipe) — perturb
+    # them so the DCN actually samples off-grid and the test exercises
+    # the bounded bilinear path, not the degenerate zero-offset conv.
+    def _perturb(tree, key=()):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                if k in ("offset", "mask") and isinstance(v, dict) \
+                        and "kernel" in v:
+                    out[k] = {
+                        n: jnp.asarray(
+                            rng.normal(size=a.shape).astype(np.float32)
+                            * 0.3
+                        )
+                        for n, a in v.items()
+                    }
+                else:
+                    out[k] = _perturb(v, key + (k,))
+            return out
+        return tree
+
+    variables = {**variables, "params": _perturb(variables["params"])}
+
+    ref = model.apply(variables, x, train=False)
+    chain = dla34_chain_forward(
+        oc, variables, {}, dtype=jnp.bfloat16, deform=True,
+        dcn_max_offset=1.0, offset_bound=1.0, dcn_impl="shift",
+    )(x)
+    for field in ("heatmap", "size", "offset"):
+        r = np.asarray(getattr(ref, field), np.float32)
+        c = np.asarray(getattr(chain, field), np.float32)
+        np.testing.assert_array_equal(r, c, err_msg=field)
+
+
+@pytest.mark.slow
 def test_dla34_chain_float_path_bit_exact_bf16():
     from math import pi
 
