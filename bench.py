@@ -1323,6 +1323,18 @@ def main():
     # quantization error included.  Folds into the existing epilogue
     # multiply-add, so it costs no serving time.
     seq_correct = "--seq-correct" in sys.argv
+    # --int8-transpose {phase-xla,pallas,xla,off}: lowering for the
+    # YOLACT protonet k3s2 transposed convs in the chain profiles.
+    # "phase-xla" = four exact-tap XLA int8 convs + per-phase fused
+    # epilogues + one int8 interleave (bit-equal to the lhs-dilated
+    # int8 sim; no Mosaic dependency); "pallas" = the VMEM phase-GEMM
+    # kernel (measured 26 ms vs bf16's 11.4 at up2 — kept for study);
+    # default "off" keeps the bf16 dilated lowering until the chip A/B
+    # and the mask-parity rung land (transpose_kernel_probe.py).
+    int8_transpose = None
+    if "--int8-transpose" in sys.argv:
+        v = sys.argv[sys.argv.index("--int8-transpose") + 1]
+        int8_transpose = None if v == "off" else v
     # Chain-int8 now covers --deform too (round 4, VERDICT r3 item 4):
     # the DCN-IDA graph serves with an int8 trunk via
     # dla34_chain_forward(deform=True) — DCN stages stay bf16 (the
@@ -1428,6 +1440,7 @@ def main():
         yl_q = make_yolact_chain_pipeline(
             yl_cfg, yl_vars, yl_scales, top_k=20, iou_threshold=0.5,
             confidence_threshold=0.5, corrections=yl_corr, gains=yl_gains,
+            int8_transpose=int8_transpose,
         )
         print(
             f"chain-int8{'-parity' if parity else ''}: "
@@ -1496,7 +1509,7 @@ def main():
                 )
             yl_fwd = yolact_chain_forward(
                 yl_cfg, yl_vars, yl_scales, corrections=yl_corr,
-                gains=yl_gains,
+                gains=yl_gains, int8_transpose=int8_transpose,
             )
         elif int8:
             raise SystemExit("--fused supports the chain and bf16 paths")
@@ -1550,6 +1563,7 @@ def main():
                 if chain else "per-layer"
             ) if int8 else None,
             "early_pack": early_pack or None,
+            "int8_transpose": int8_transpose if chain else None,
             "up_impl": up_impl if up_impl != "dilated" else None,
             "bf16_tail": list(bf16_tail) if (chain and parity) else None,
             "mse_clip": mse if (chain and parity) else None,

@@ -546,6 +546,22 @@ class DepthwiseUpsample(nn.Module):
                 x.astype(self.dtype), kernel.astype(self.dtype), f
             )
 
+        if self.impl == "pallas":
+            # Zero-free phase math INSIDE one Pallas program with a
+            # standard NHWC write (ops/pallas/depthwise_upsample.py) —
+            # XLA sees conv-in/conv-out with no layout freedom, built
+            # to test whether the dilated form's surrounding-graph
+            # layout interactions cost the aggregation stage anything
+            # in context (standalone the dilated form already measures
+            # AT the VPU floor, scripts/ida_upsample_probe.py).
+            from tauv_vision_tpu.ops.pallas.depthwise_upsample import (
+                depthwise_upsample_pallas,
+            )
+
+            return depthwise_upsample_pallas(
+                x.astype(self.dtype), kernel, f
+            )
+
         # Dilated depthwise correlation.  Lowering alternatives are
         # measured dead ends at every factor: the zero-free phase form
         # wins standalone for f=4 (37x, scripts/upsample_probe.py) but

@@ -101,40 +101,60 @@ def depthwise_upsample_pallas(
 
     x_pad = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
 
-    # Phase tap weights as one [f, f, 4, C] constant operand (every
-    # phase of a k=2f s=f transpose has exactly 2x2 taps).
-    wtab = np.zeros((f, f, 4, c), np.float32)
+    # Phase tap weights as one [f, f, 4, C] operand (every phase of a
+    # k=2f s=f transpose has exactly 2x2 taps).  Built with jnp stacks
+    # so traced kernels (the served flax param) work; the shift table
+    # is static (index arithmetic only).
     dtab = np.zeros((f, f, 4, 2), np.int32)
+    wrows = []
     for a in range(f):
+        wcols = []
         for bb in range(f):
             taps = phases[a][bb]
             assert len(taps) == 4, (f, a, bb, len(taps))
-            for t, (dy, dx, wv) in enumerate(taps):
-                wtab[a, bb, t] = np.asarray(wv)
+            for t, (dy, dx, _) in enumerate(taps):
                 dtab[a, bb, t] = (dy - d_min, dx - d_min)
-    wtab_j = jnp.asarray(wtab)
+            wcols.append(jnp.stack([wv for _, _, wv in taps], axis=0))
+        wrows.append(jnp.stack(wcols, axis=0))
+    wtab_j = jnp.stack(wrows, axis=0)
+
+    # Row-chunked phase computation: the first revision built all f^2
+    # full-image f32 phase maps before interleaving, which blew the
+    # scoped-vmem stack (~30-43 MB at the CN aggregation shapes).
+    # Chunking the H axis bounds the live set to ~f^2 * rc * fW * C f32
+    # (~1-2 MB) and writes each chunk's interleaved rows straight into
+    # the output ref (contiguous major-dim slice — free on TPU).
+    rc = max(1, (1 << 20) // max(f * f * w * c * 4, 1))
+    rc = min(rc, h)
 
     def kernel_fn(xr, wr, outr):
-        xf = xr[0].astype(jnp.float32)          # [hp, wp, C]
-        rows = []
-        for a in range(f):
-            cols = []
-            for bb in range(f):
-                acc = None
-                for t in range(4):
-                    dy, dx = int(dtab[a, bb, t, 0]), int(dtab[a, bb, t, 1])
-                    term = (
-                        xf[dy:dy + h, dx:dx + w, :]
-                        * wr[a, bb, t][None, None, :]
-                    )
-                    acc = term if acc is None else acc + term
-                cols.append(acc)
-            # interleave along W: [h, w, f, C] -> [h, f*w, C]
-            rowi = jnp.stack(cols, axis=2).reshape(h, f * w, c)
-            rows.append(rowi)
-        # interleave along H: [h, f, f*w, C] -> [f*h, f*w, C]
-        out = jnp.stack(rows, axis=1).reshape(f * h, f * w, c)
-        outr[0] = out.astype(outr.dtype)
+        x = xr[0]                               # [hp, wp, C] in dtype
+        for y0 in range(0, h, rc):
+            rows_n = min(rc, h - y0)
+            xs = x[y0:y0 + rows_n + lo + hi].astype(jnp.float32)
+            rows = []
+            for a in range(f):
+                cols = []
+                for bb in range(f):
+                    acc = None
+                    for t in range(4):
+                        dy = int(dtab[a, bb, t, 0])
+                        dx = int(dtab[a, bb, t, 1])
+                        term = (
+                            xs[dy:dy + rows_n, dx:dx + w, :]
+                            * wr[a, bb, t][None, None, :]
+                        )
+                        acc = term if acc is None else acc + term
+                    cols.append(acc)
+                # interleave along W: [rows, w, f, C] -> [rows, f*w, C]
+                rows.append(
+                    jnp.stack(cols, axis=2).reshape(rows_n, f * w, c)
+                )
+            # interleave along H: [rows, f, f*w, C] -> [f*rows, f*w, C]
+            out = jnp.stack(rows, axis=1).reshape(
+                f * rows_n, f * w, c
+            )
+            outr[0, f * y0:f * (y0 + rows_n)] = out.astype(outr.dtype)
 
     fn = pl.pallas_call(
         kernel_fn,

@@ -217,6 +217,83 @@ def transpose_conv2x_int8_pallas(
     return fn(x_q, x_q, taps, deq, bias, out_scale)
 
 
+def transpose_conv2x_int8_phase_xla(
+    x_q: jnp.ndarray, qk: jnp.ndarray, deq, bias, out_scale,
+    *, act: str = "leaky", out_dtype=jnp.int8,
+) -> jnp.ndarray:
+    """Exact-tap phase decomposition in pure XLA: FOUR int8 convs (one
+    per output phase — 1x1 / 1x2 / 2x1 / 2x2 taps, 9 taps total = the
+    3x3 kernel), each with the dequant+bias+act+requant epilogue fused
+    by XLA into its output, then ONE interleave on the final (int8 or
+    bf16) phase maps.
+
+    This is the round-3 "exact-tap phase convs" formulation with its
+    two killers removed: the epilogue runs PER PHASE (so the interleave
+    moves 4 int8/bf16 maps, not 4 int32 accumulators — 4-16x less
+    relayout traffic), and there is no concat-then-depth-to-space: the
+    stack+reshape interleave keeps channels in the lane dim throughout
+    (the memory-order trick from the Pallas kernel's write path).
+
+    Bit-equal to ``transpose_conv2x_int8_xla`` (same integer taps, same
+    int32 accumulation, same f32 epilogue ops in the same order).
+    MACs are the exact 9 taps — none of the merged-phase form's 16/9
+    structural zeros.  Unlike the Pallas kernel, the GEMM core is XLA's
+    own int8 conv (393 TOP/s measured), so this path doesn't depend on
+    Mosaic's int8 dot rate.
+    """
+    b, h, w, c = x_q.shape
+    assert x_q.dtype == jnp.int8 and qk.shape[:2] == (3, 3)
+    deq = jnp.asarray(deq, jnp.float32).reshape(-1)
+    bias = jnp.asarray(bias, jnp.float32).reshape(-1)
+    s_out = jnp.asarray(out_scale, jnp.float32).reshape(-1)
+
+    def conv(kern, pad):
+        return jax.lax.conv_general_dilated(
+            x_q, kern, (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+
+    def epi(acc):
+        y = acc.astype(jnp.float32) * deq + bias
+        if act == "leaky":
+            y = jnp.where(y >= 0, y, 0.01 * y)
+        elif act == "relu":
+            y = jnp.maximum(y, 0.0)
+        if out_dtype == jnp.int8:
+            return jnp.clip(
+                jnp.round(y / s_out), -127, 127
+            ).astype(jnp.int8)
+        return y.astype(out_dtype)
+
+    # Tap placement per phase (ops docstring at phase_tap_matrices):
+    #   y[2m,   2n  ] = x[m, n] @ k[1,1]
+    #   y[2m,   2n+1] = x[m, n] @ k[1,2] + x[m, n+1] @ k[1,0]
+    #   y[2m+1, 2n  ] = x[m, n] @ k[2,1] + x[m+1, n] @ k[0,1]
+    #   y[2m+1, 2n+1] = x @ k[2,2] + x_c @ k[2,0] + x_r @ k[0,2]
+    #                 + x_rc @ k[0,0]
+    # Each phase is a conv whose kernel spans the (row, col) shifts it
+    # reads, padded (0, 1) on the shifted axes (x[·, W] = 0).
+    k = qk
+    ee = epi(conv(k[1:2, 1:2], ((0, 0), (0, 0))))
+    eo = epi(conv(
+        jnp.stack([k[1, 2], k[1, 0]], axis=0)[None], ((0, 0), (0, 1))
+    ))
+    oe = epi(conv(
+        jnp.stack([k[2, 1], k[0, 1]], axis=0)[:, None], ((0, 1), (0, 0))
+    ))
+    oo = epi(conv(
+        jnp.stack([
+            jnp.stack([k[2, 2], k[2, 0]], axis=0),
+            jnp.stack([k[0, 2], k[0, 0]], axis=0),
+        ], axis=0), ((0, 1), (0, 1)),
+    ))
+
+    even = jnp.stack([ee, eo], axis=3).reshape(b, h, 2 * w, c)
+    odd = jnp.stack([oe, oo], axis=3).reshape(b, h, 2 * w, c)
+    return jnp.stack([even, odd], axis=2).reshape(b, 2 * h, 2 * w, c)
+
+
 def transpose_conv2x_int8_xla(
     x_q: jnp.ndarray, qk: jnp.ndarray, deq, bias, out_scale,
     *, act: str = "leaky", out_dtype=jnp.int8,

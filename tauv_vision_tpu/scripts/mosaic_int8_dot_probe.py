@@ -5,6 +5,17 @@ measured)?  Decides whether the transpose kernel's GEMM core is the
 bottleneck (kernel probe measured 26 ms vs the 5.5 ms int8 roof).
 
   python -m tauv_vision_tpu.scripts.mosaic_int8_dot_probe
+
+VERDICT (round 4): UNMEASURABLE on this image — the probe hangs the
+server-side compiler (two runs: 400 s and 590 s with reps trimmed
+16 -> 4, zero output before the first chained dispatch returned; a
+plain 256x256 matmul in a fresh process also stalled behind it), the
+same failure class as the round-3 compiler-option sweep's exploratory
+arms.  The serving question is settled without it: the Pallas
+transpose kernel runs identical math to the XLA phase convs at
+26.2 ms vs 9.55 ms (transpose_kernel_probe --decompose), so Mosaic
+int8 dots are ~2-3x slower than XLA's int8 conv at K<=1024 on this
+chip, and the kernel route is dead regardless of the exact rate.
 """
 
 from __future__ import annotations

@@ -38,12 +38,17 @@ def main():
     from tauv_vision_tpu.ops.pallas.transpose_conv import (
         phase_tap_matrices,
         transpose_conv2x_int8_pallas,
+        transpose_conv2x_int8_phase_xla,
         transpose_conv2x_int8_xla,
     )
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    batch = next(
+        (int(a) for a in sys.argv[1:] if a.isdigit()), 128
+    )
     rng = np.random.default_rng(0)
     shapes = [("up1", 45, 80, 256), ("up2", 90, 160, 256)]
+    if "--decompose" in sys.argv:
+        shapes = shapes[1:]  # up2 dominates; save the compiles
     out_rows = []
 
     for name, h, w, c in shapes:
@@ -89,14 +94,22 @@ def main():
                 x, taps, deq, bias, s_out
             )
 
+        def phase_xla_int8(x, qk=qk, deq=deq, bias=bias, s_out=s_out):
+            return transpose_conv2x_int8_phase_xla(
+                x, qk, deq, bias, s_out
+            )
+
         # --- on-chip bit-equality vs the XLA int8-sim reference
         ref = transpose_conv2x_int8_xla(xq[:2], qk, deq, bias, s_out)
-        got = pallas_int8(xq[:2])
-        eq = bool(jnp.all(ref == got))
-        n_bad = int(jnp.sum(ref != got))
-        print(f"{name}: pallas == xla-int8-sim: {eq} "
-              f"(mismatched {n_bad})", flush=True)
-        assert eq, f"{name}: kernel not bit-equal on chip"
+        for arm_tag, fn in (
+            ("pallas", pallas_int8), ("phase-xla", phase_xla_int8)
+        ):
+            got = fn(xq[:2])
+            eq = bool(jnp.all(ref == got))
+            n_bad = int(jnp.sum(ref != got))
+            print(f"{name}: {arm_tag} == xla-int8-sim: {eq} "
+                  f"(mismatched {n_bad})", flush=True)
+            assert eq, f"{name}: {arm_tag} not bit-equal on chip"
 
         # --- interleaved timing
         def timed(fn, inp, n_chain=8, n_reps=2):
@@ -127,7 +140,77 @@ def main():
             t2 = run(2 * n_chain)
             return max(t2 - t1, 1e-9) / n_chain
 
-        arms = [("chain-bf16", chain_bf16), ("pallas-int8", pallas_int8)]
+        # Decomposition arms (--decompose): where do the phase form's
+        # ms go — the small-kernel int8 convs, the epilogue, or the
+        # spatial interleave?
+        def _phase_convs(x, *, epi_on, ilv, conv_dtype,
+                         qk=qk, deq=deq, bias=bias, s_out=s_out):
+            k = qk if conv_dtype == jnp.int8 else qk.astype(conv_dtype)
+            xin = x if conv_dtype == jnp.int8 else x.astype(conv_dtype)
+            acc_t = jnp.int32 if conv_dtype == jnp.int8 else jnp.float32
+
+            def conv(kern, pad):
+                return jax.lax.conv_general_dilated(
+                    xin, kern, (1, 1), pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=acc_t,
+                )
+
+            def epi(acc):
+                if not epi_on:
+                    # cheapest exact-dtype emission so outputs stay int8
+                    return acc.astype(jnp.int8)
+                y = acc.astype(jnp.float32) * deq + bias
+                y = jnp.where(y >= 0, y, 0.01 * y)
+                return jnp.clip(
+                    jnp.round(y / s_out), -127, 127
+                ).astype(jnp.int8)
+
+            bb, hh, ww, cc = x.shape
+            ee = epi(conv(k[1:2, 1:2], ((0, 0), (0, 0))))
+            eo = epi(conv(
+                jnp.stack([k[1, 2], k[1, 0]], axis=0)[None],
+                ((0, 0), (0, 1)),
+            ))
+            oe = epi(conv(
+                jnp.stack([k[2, 1], k[0, 1]], axis=0)[:, None],
+                ((0, 1), (0, 0)),
+            ))
+            oo = epi(conv(
+                jnp.stack([
+                    jnp.stack([k[2, 2], k[2, 0]], axis=0),
+                    jnp.stack([k[0, 2], k[0, 0]], axis=0),
+                ], axis=0), ((0, 1), (0, 1)),
+            ))
+            if not ilv:
+                return jnp.concatenate([ee, eo, oe, oo], axis=-1)
+            even = jnp.stack([ee, eo], axis=3).reshape(bb, hh, 2 * ww, cc)
+            odd = jnp.stack([oe, oo], axis=3).reshape(bb, hh, 2 * ww, cc)
+            return jnp.stack([even, odd], axis=2).reshape(
+                bb, 2 * hh, 2 * ww, cc
+            )
+
+        arms = [
+            ("chain-bf16", chain_bf16),
+            ("pallas-int8", pallas_int8),
+            ("phase-xla-int8", phase_xla_int8),
+        ]
+        if "--decompose" in sys.argv:
+            arms = [
+                ("chain-bf16", chain_bf16),
+                ("phase-full", functools.partial(
+                    _phase_convs, epi_on=True, ilv=True,
+                    conv_dtype=jnp.int8)),
+                ("phase-noilv", functools.partial(
+                    _phase_convs, epi_on=True, ilv=False,
+                    conv_dtype=jnp.int8)),
+                ("phase-convsonly", functools.partial(
+                    _phase_convs, epi_on=False, ilv=False,
+                    conv_dtype=jnp.int8)),
+                ("phase-bf16convs", functools.partial(
+                    _phase_convs, epi_on=False, ilv=False,
+                    conv_dtype=jnp.bfloat16)),
+            ]
         results = {n: [] for n, _ in arms}
         for r in range(3):
             for arm_name, fn in arms:

@@ -14,7 +14,14 @@ Same discipline as scripts/heads_ab_probe.py: one process, one
 variables dict (the switch is parameter-compatible), A,B,A,B rounds so
 chip drift cancels.
 
-  python -m tauv_vision_tpu.scripts.upsample_ab_probe [batch] [rounds]
+  python -m tauv_vision_tpu.scripts.upsample_ab_probe [batch] [rounds] \
+      [--impl block|pallas]
+
+Round 4 adds ``--impl pallas`` (ops/pallas/depthwise_upsample.py): the
+zero-free phase math inside ONE Pallas program with a standard NHWC
+write — no XLA depth-to-space at all, so it probes whether the dilated
+form's in-context cost is layout interaction rather than the dilation
+zeros themselves.
 """
 
 from __future__ import annotations
@@ -57,8 +64,11 @@ def main():
 
     _, variables, model, cfg, _ = build_centernet(deform=False)
 
+    impl = "block"
+    if "--impl" in sys.argv:
+        impl = sys.argv[sys.argv.index("--impl") + 1]
     model_block = dataclasses.replace(
-        model, up_impl="block", parent=None, name=None
+        model, up_impl=impl, parent=None, name=None
     )
 
     def make_pipeline(m):
@@ -75,8 +85,18 @@ def main():
     pipe_a = make_pipeline(model_block)  # block-phase upsamples
     pipe_b = make_pipeline(model)        # dilated (current default)
 
+    # Both arms run under the serving compiler options (vmem32m + LHS)
+    # — the configuration the north-star graph actually serves with;
+    # the Pallas upsample's per-program stack (~30 MB at f=2) also
+    # needs the 32 MiB scoped-vmem budget.
+    from tauv_vision_tpu.serving.compiler import serving_compiler_options
+
+    opts = serving_compiler_options()
+
     def timeit(pipe, frames, n=8, reps=2):
-        @functools.partial(jax.jit, static_argnums=2)
+        @functools.partial(
+            jax.jit, static_argnums=2, compiler_options=opts
+        )
         def chained(variables, frames, n_):
             def body(carry, _):
                 out = pipe(variables, frames + carry)
@@ -112,8 +132,8 @@ def main():
 
     # numerics guard: near-identical decoded outputs from shared
     # variables (the two lowerings agree to bf16 ulp order)
-    da = jax.jit(pipe_a)(variables, frames[:8])
-    db = jax.jit(pipe_b)(variables, frames[:8])
+    da = jax.jit(pipe_a, compiler_options=opts)(variables, frames[:8])
+    db = jax.jit(pipe_b, compiler_options=opts)(variables, frames[:8])
     score_delta = float(jnp.abs(da.score - db.score).max())
     print(f"decoded score max delta block-vs-dilated: {score_delta:.2e}",
           flush=True)
@@ -135,6 +155,7 @@ def main():
     result = {
         "batch": batch,
         "rounds": rounds,
+        "impl": impl,
         "score_delta": score_delta,
         "block_ms_median": round(float(np.median(a_times)) * 1e3, 2),
         "dilated_ms_median": round(float(np.median(b_times)) * 1e3, 2),

@@ -60,6 +60,14 @@ LADDER = (
     ("float+f32head",
      ("backbone", "fpn", "protonet", "prediction_head"),
      ("prediction_head", "protonet/output")),
+    # Round-4 int8-transpose rung: the passing serving rung with the
+    # protonet upsamples lowered to int8 (phase-exact XLA form,
+    # ops/pallas/transpose_conv.transpose_conv2x_int8_phase_xla).  The
+    # protonet feeds ONLY mask_prototype, so scores/boxes are
+    # bit-identical to pc+outputs+head; the rung certifies the mask
+    # deltas of the int8 upsample quantization.
+    ("pc+outputs+head+int8T",
+     ("prediction_head", "protonet/output"), (), "int8_transpose"),
 )
 
 
@@ -317,9 +325,14 @@ def main(argv=None):
                   f" mask_iou={stats.get('mask_iou_mean')}"
                   f" le_1e3={stats.get('all_deltas_le_1e3')}", flush=True)
             continue
+        int8_t = (
+            "phase-xla"
+            if len(entry) > 3 and entry[3] == "int8_transpose" else None
+        )
         scales = strip_scales(scales_pc, strip) if strip else scales_pc
         fwd = yolact_chain_forward(model_config, trained, scales,
-                                   f32_paths=f32_paths)
+                                   f32_paths=f32_paths,
+                                   int8_transpose=int8_t)
 
         def chain_pipeline(frames_uint8):
             img = frames_uint8.astype(jnp.bfloat16) / 255.0

@@ -205,8 +205,12 @@ class ChainCtx:
         # otherwise); "pallas" serves calibrated k3s2 transposes through
         # ops/pallas/transpose_conv (phase-exact int8 GEMMs + fused
         # requant — ~2x the bf16 form's MXU rate and half its HBM write
-        # traffic on the protonet upsamples); "xla" the bit-identical
-        # int8-sim reference (CPU tests; slow on chip).
+        # traffic on the protonet upsamples); "phase-xla" the same
+        # exact-tap phase math as FOUR XLA int8 convs + per-phase fused
+        # epilogues + one int8 interleave (no Mosaic dependency — the
+        # GEMM core is XLA's own 393-TOP/s int8 conv); "xla" the
+        # bit-identical int8-sim reference (CPU tests; slow on chip).
+        # All three are bit-equal to each other.
         self.int8_transpose = int8_transpose
 
     def s(self, path: str) -> float:
@@ -297,6 +301,7 @@ class ChainCtx:
             from tauv_vision_tpu.ops.pallas.transpose_conv import (
                 phase_tap_matrices,
                 transpose_conv2x_int8_pallas,
+                transpose_conv2x_int8_phase_xla,
                 transpose_conv2x_int8_xla,
             )
 
@@ -336,6 +341,10 @@ class ChainCtx:
             )
             if self.int8_transpose == "xla":
                 return transpose_conv2x_int8_xla(
+                    q, qk, deq, bias_eff, out_scale, **kwargs
+                )
+            if self.int8_transpose == "phase-xla":
+                return transpose_conv2x_int8_phase_xla(
                     q, qk, deq, bias_eff, out_scale, **kwargs
                 )
             return transpose_conv2x_int8_pallas(
@@ -710,7 +719,7 @@ def prediction_head_chain(
 def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
                          dtype=jnp.bfloat16, corrections=None, gains=None,
                          ranges=None, wq_override=None, ctx=None,
-                         f32_paths=()):
+                         f32_paths=(), int8_transpose=None):
     """Returns ``fn(img) -> YolactPrediction`` running the chain-int8
     YOLACT forward (models/yolact.py:50-116)."""
     from tauv_vision_tpu.models.yolact import YolactPrediction
@@ -720,7 +729,8 @@ def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
     if ctx is None:
         ctx = ChainCtx(variables, scales, dtype=dtype,
                        corrections=corrections, gains=gains, ranges=ranges,
-                       wq_override=wq_override, f32_paths=f32_paths)
+                       wq_override=wq_override, f32_paths=f32_paths,
+                       int8_transpose=int8_transpose)
     anchor = jnp.asarray(
         get_all_anchors(cfg.in_h, cfg.in_w, cfg.n_fpn_levels,
                         cfg.anchor_scales, cfg.anchor_aspect_ratios)
@@ -760,7 +770,7 @@ def make_yolact_chain_pipeline(
     model_config, variables, scales: Dict[str, float],
     top_k: int = 20, iou_threshold: float = 0.5,
     confidence_threshold: float = 0.5, dtype=jnp.bfloat16, jit: bool = True,
-    corrections=None, gains=None,
+    corrections=None, gains=None, int8_transpose=None,
 ):
     """uint8 frames -> decoded YolactDetections via the chain-int8
     forward (drop-in for make_yolact_pipeline + quantized_call)."""
@@ -769,7 +779,8 @@ def make_yolact_chain_pipeline(
 
     cfg = model_config
     forward = yolact_chain_forward(cfg, variables, scales, dtype=dtype,
-                                   corrections=corrections, gains=gains)
+                                   corrections=corrections, gains=gains,
+                                   int8_transpose=int8_transpose)
 
     def pipeline(img_uint8):
         img = preprocess(

@@ -18,6 +18,7 @@ import pytest
 from tauv_vision_tpu.ops.pallas.transpose_conv import (
     phase_tap_matrices,
     transpose_conv2x_int8_pallas,
+    transpose_conv2x_int8_phase_xla,
     transpose_conv2x_int8_xla,
 )
 
@@ -84,6 +85,71 @@ def test_phase_kernel_float_output():
     )
     np.testing.assert_array_equal(
         np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    )
+
+
+@pytest.mark.parametrize("out_dtype", [jnp.int8, jnp.bfloat16])
+def test_phase_xla_matches_dilated_int8(out_dtype):
+    """The pure-XLA phase decomposition (four exact-tap int8 convs +
+    per-phase epilogues + int8 interleave) is bit-equal to the dilated
+    int8 reference — same integer taps, same accumulation, same f32
+    epilogue order.  Odd extents exercise the shifted-axis zero pads."""
+    rng = np.random.default_rng(4)
+    c = 64
+    for b, h, w in [(2, 6, 8), (1, 5, 7)]:
+        x, qk, deq, bias, out_scale = _case(rng, b, h, w, c)
+        ref = transpose_conv2x_int8_xla(
+            x, qk, deq, bias, out_scale, out_dtype=out_dtype
+        )
+        got = transpose_conv2x_int8_phase_xla(
+            x, qk, deq, bias, out_scale, out_dtype=out_dtype
+        )
+        assert got.shape == (b, 2 * h, 2 * w, c) == ref.shape
+        np.testing.assert_array_equal(
+            np.asarray(ref, np.float32), np.asarray(got, np.float32)
+        )
+
+
+def test_chain_phase_xla_transpose_matches_xla_sim():
+    """run_layer's int8_transpose='phase-xla' branch produces the same
+    activations as the 'xla' int8-sim branch through a real calibrated
+    protonet link (upsample -> post), end to end."""
+    from tauv_vision_tpu.serving.quantize_chain import ChainCtx
+
+    rng = np.random.default_rng(5)
+    c = 32
+    kern = rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.05
+    kern_post = rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.05
+    variables = {"params": {
+        "protonet": {
+            "upsample_2": {
+                "kernel": jnp.asarray(kern),
+                "bias": jnp.asarray(
+                    rng.normal(size=(c,)).astype(np.float32) * 0.1
+                ),
+            },
+            "post_0": {
+                "kernel": jnp.asarray(kern_post),
+                "bias": jnp.asarray(
+                    rng.normal(size=(c,)).astype(np.float32) * 0.1
+                ),
+            },
+        },
+    }}
+    scales = {"protonet/upsample_2": 0.02, "protonet/post_0": 0.03}
+    x = jnp.asarray(rng.normal(size=(1, 6, 8, c)) * 1.5, jnp.float32)
+
+    outs = {}
+    for impl in ("xla", "phase-xla"):
+        ctx = ChainCtx(variables, scales, int8_transpose=impl)
+        y = ctx.run_layer(
+            x, "protonet/upsample_2", transpose=True, act="leaky",
+            next_path="protonet/post_0",
+        )
+        outs[impl] = ctx.run_layer(y, "protonet/post_0", act="leaky")
+    np.testing.assert_array_equal(
+        np.asarray(outs["xla"], np.float32),
+        np.asarray(outs["phase-xla"], np.float32),
     )
 
 
