@@ -47,7 +47,8 @@ def _enable_compilation_cache():
 
 def build_centernet(deform: bool = True, dcn_impl: str = "pallas",
                     dcn_max_offset: float = 3, dcn_bound: bool = False,
-                    early_pack: int = 0, up_impl: str = "dilated"):
+                    early_pack: int = 0, up_impl: str = "dilated",
+                    bn_bf16: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -90,6 +91,7 @@ def build_centernet(deform: bool = True, dcn_impl: str = "pallas",
         dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
         offset_bound=dcn_max_offset if dcn_bound else None,
         early_pack=early_pack, up_impl=up_impl,
+        bn_out=jnp.bfloat16 if bn_bf16 else jnp.float32,
     )
     img = jnp.zeros((1, BENCH_H, BENCH_W, 3), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, img, train=False))(
@@ -1258,9 +1260,15 @@ def main():
 
     frames = jnp.asarray(frames)
 
+    # --bn-bf16: CenterNet flax model with BatchNorm outputs rounded to
+    # bf16 (models/centerpoint_dla._bn) — the BN math stays f32, only
+    # the materialized maps shrink.  Decoded-delta certification:
+    # quantize_accuracy_check 'flax-bf16-bn16' rung.
+    bn_bf16 = "--bn-bf16" in sys.argv
     cn_pipeline, cn_vars, cn_model, cn_cfg, cn_raw = build_centernet(
         deform=deform, dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
         dcn_bound=dcn_bound, early_pack=early_pack, up_impl=up_impl,
+        bn_bf16=bn_bf16,
     )
     yl_pipeline, yl_vars, yl_model, yl_cfg, yl_raw = build_yolact()
 
@@ -1335,6 +1343,17 @@ def main():
     if "--int8-transpose" in sys.argv:
         v = sys.argv[sys.argv.index("--int8-transpose") + 1]
         int8_transpose = None if v == "off" else v
+    # --bf16-joins: round the YOLACT chain's ResNet residual joins /
+    # feature taps to bf16 instead of the flax-exact f32 flow — the
+    # joins feed int8 requantizers, and their f32 maps are pure HBM
+    # traffic (~471 MB per layer1 map at batch 128).  Decoded-delta
+    # evidence: yolact_parity_check rung 'pc+outputs+head+join16'.
+    if "--bf16-joins" in sys.argv:
+        import jax.numpy as jnp  # noqa: F811
+
+        yl_join_dtype = jnp.bfloat16
+    else:
+        yl_join_dtype = None
     # Chain-int8 now covers --deform too (round 4, VERDICT r3 item 4):
     # the DCN-IDA graph serves with an int8 trunk via
     # dla34_chain_forward(deform=True) — DCN stages stay bf16 (the
@@ -1436,11 +1455,12 @@ def main():
             n_detections=10, score_threshold=0.6, corrections=cn_corr,
             gains=cn_gains, deform=deform, dcn_max_offset=dcn_max_offset,
             offset_bound=dcn_max_offset if dcn_bound else None,
+            join_dtype=yl_join_dtype,
         )
         yl_q = make_yolact_chain_pipeline(
             yl_cfg, yl_vars, yl_scales, top_k=20, iou_threshold=0.5,
             confidence_threshold=0.5, corrections=yl_corr, gains=yl_gains,
-            int8_transpose=int8_transpose,
+            int8_transpose=int8_transpose, join_dtype=yl_join_dtype,
         )
         print(
             f"chain-int8{'-parity' if parity else ''}: "
@@ -1506,10 +1526,12 @@ def main():
                     corrections=cn_corr, gains=cn_gains, deform=deform,
                     dcn_max_offset=dcn_max_offset,
                     offset_bound=dcn_max_offset if dcn_bound else None,
+                    join_dtype=yl_join_dtype,
                 )
             yl_fwd = yolact_chain_forward(
                 yl_cfg, yl_vars, yl_scales, corrections=yl_corr,
                 gains=yl_gains, int8_transpose=int8_transpose,
+                join_dtype=yl_join_dtype,
             )
         elif int8:
             raise SystemExit("--fused supports the chain and bf16 paths")
@@ -1564,6 +1586,8 @@ def main():
             ) if int8 else None,
             "early_pack": early_pack or None,
             "int8_transpose": int8_transpose if chain else None,
+            "bf16_joins": (yl_join_dtype is not None) if chain else None,
+            "bn_bf16": bn_bf16,
             "up_impl": up_impl if up_impl != "dilated" else None,
             "bf16_tail": list(bf16_tail) if (chain and parity) else None,
             "mse_clip": mse if (chain and parity) else None,

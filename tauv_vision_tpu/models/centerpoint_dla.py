@@ -38,11 +38,25 @@ DLA34_LEVELS = (1, 1, 1, 2, 2, 1)
 DLA34_CHANNELS = (16, 32, 64, 128, 256, 512)
 
 
-def _bn(train: bool, name: str) -> nn.BatchNorm:
-    return nn.BatchNorm(
+def _bn(train: bool, name: str, out_dtype=jnp.float32):
+    """BatchNorm matching torch numerics: the normalization itself ALWAYS
+    computes in f32 (torch BN runs f32 — the 1e-3 parity bar needs it).
+
+    ``out_dtype`` rounds the OUTPUT once (round-4 HBM lever): with f32
+    outputs every BN->relu->residual-join map in the bf16 served graph
+    materializes at twice the width its consumers read (the next conv
+    immediately casts to bf16), ~30 MB/frame of pure traffic on the
+    early trunk alone.  f32 (default) keeps the parity-suite-exact flow;
+    bf16 is the served variant, decoded-delta certified by its own
+    quantize_accuracy_check rung.
+    """
+    bn = nn.BatchNorm(
         use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
         dtype=jnp.float32, name=name,
     )
+    if out_dtype == jnp.float32:
+        return bn
+    return lambda x: bn(x).astype(out_dtype)
 
 
 def _pack_batch(x: jnp.ndarray, g: int) -> jnp.ndarray:
@@ -162,6 +176,7 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    bn_out: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, residual=None, train: bool = False):
@@ -171,14 +186,14 @@ class BasicBlock(nn.Module):
             self.planes, (3, 3), strides=(self.stride, self.stride),
             padding=1, use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        out = nn.relu(_bn(train, "bn1")(out))
+        out = nn.relu(_bn(train, "bn1", self.bn_out)(out))
         out = nn.Conv(
             self.planes, (3, 3), padding=1, use_bias=False,
             dtype=self.dtype, name="conv2",
         )(out)
-        out = _bn(train, "bn2")(out)
+        out = _bn(train, "bn2", self.bn_out)(out)
         residual = pad_to_match(residual, out.shape[1:3])
-        return nn.relu(out + residual)
+        return nn.relu(out + residual.astype(out.dtype))
 
 
 class Root(nn.Module):
@@ -188,6 +203,7 @@ class Root(nn.Module):
     out_channels: int
     residual: bool = False
     dtype: jnp.dtype = jnp.float32
+    bn_out: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, children: List[jnp.ndarray], train: bool = False):
@@ -196,9 +212,9 @@ class Root(nn.Module):
             self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
             name="conv",
         )(x)
-        x = _bn(train, "bn")(x)
+        x = _bn(train, "bn", self.bn_out)(x)
         if self.residual:
-            x = x + children[0]
+            x = x + children[0].astype(x.dtype)
         return nn.relu(x)
 
 
@@ -213,6 +229,7 @@ class Tree(nn.Module):
     root_dim: int = 0
     root_residual: bool = False
     dtype: jnp.dtype = jnp.float32
+    bn_out: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, residual=None, children=None, train: bool = False):
@@ -240,33 +257,37 @@ class Tree(nn.Module):
                 self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
                 name="project_conv",
             )(bottom)
-            proj = _bn(train, "project_bn")(proj)
+            proj = _bn(train, "project_bn", self.bn_out)(proj)
 
         if self.level_root:
             children.append(bottom)
 
         if self.levels == 1:
             x1 = BasicBlock(
-                self.out_channels, self.stride, dtype=self.dtype, name="tree1"
+                self.out_channels, self.stride, dtype=self.dtype,
+                bn_out=self.bn_out, name="tree1",
             )(x, residual=proj, train=train)
             x2 = BasicBlock(
-                self.out_channels, 1, dtype=self.dtype, name="tree2"
+                self.out_channels, 1, dtype=self.dtype,
+                bn_out=self.bn_out, name="tree2",
             )(x1, train=train)
             return Root(
                 self.out_channels, self.root_residual, dtype=self.dtype,
-                name="root",
+                bn_out=self.bn_out, name="root",
             )([x2, x1] + children, train=train)
 
         x1 = Tree(
             self.levels - 1, self.in_channels, self.out_channels,
             stride=self.stride, root_dim=0,
-            root_residual=self.root_residual, dtype=self.dtype, name="tree1",
+            root_residual=self.root_residual, dtype=self.dtype,
+            bn_out=self.bn_out, name="tree1",
         )(x, residual=proj, train=train)
         children.append(x1)
         return Tree(
             self.levels - 1, self.out_channels, self.out_channels,
             root_dim=root_dim + self.out_channels,
-            root_residual=self.root_residual, dtype=self.dtype, name="tree2",
+            root_residual=self.root_residual, dtype=self.dtype,
+            bn_out=self.bn_out, name="tree2",
         )(x1, children=children, train=train)
 
 
@@ -284,6 +305,7 @@ class DLATrunk(nn.Module):
     stem_s2d: int = 0
     early_pack: int = 0
     dtype: jnp.dtype = jnp.float32
+    bn_out: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> List[jnp.ndarray]:
@@ -334,7 +356,7 @@ class DLATrunk(nn.Module):
                     self.channels[0], (7, 7), padding=3, use_bias=False,
                     dtype=self.dtype, name="base_conv",
                 )(img)
-            x = nn.relu(_bn(train, "base_bn")(x))
+            x = nn.relu(_bn(train, "base_bn", self.bn_out)(x))
 
             outputs = []
 
@@ -349,7 +371,8 @@ class DLATrunk(nn.Module):
                         name=f"level{level_i}_conv{conv_i}",
                     )(x)
                     x = nn.relu(
-                        _bn(train, f"level{level_i}_bn{conv_i}")(x)
+                        _bn(train, f"level{level_i}_bn{conv_i}",
+                            self.bn_out)(x)
                     )
                 outputs.append(x)
 
@@ -362,6 +385,7 @@ class DLATrunk(nn.Module):
                 stride=2,
                 level_root=(level_i != 2),
                 dtype=self.dtype,
+                bn_out=self.bn_out,
                 name=f"level{level_i}",
             )(x, train=train)
             outputs.append(x)
@@ -398,6 +422,7 @@ class DeformConvBlock(nn.Module):
     # reference param layout (centerpoint_dla.py:377-385) are untouched.
     merge_offset_mask: bool = True
     dtype: jnp.dtype = jnp.float32
+    bn_out: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -406,7 +431,7 @@ class DeformConvBlock(nn.Module):
                 self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                 name="conv",
             )(x)
-            return nn.relu(_bn(train, "bn")(out))
+            return nn.relu(_bn(train, "bn", self.bn_out)(out))
         if self.merge_offset_mask and not self.is_initializing():
             po = self.get_variable("params", "offset")
             pm = self.get_variable("params", "mask")
@@ -495,7 +520,7 @@ class DeformConvBlock(nn.Module):
                 bias,
                 stride=1, padding=1,
             )
-        return nn.relu(_bn(train, "bn")(out))
+        return nn.relu(_bn(train, "bn", self.bn_out)(out))
 
 
 def _bilinear_kernel(k: int) -> np.ndarray:
@@ -595,6 +620,7 @@ class IDAUpStage(nn.Module):
     offset_bound: Optional[float] = None
     up_impl: str = "dilated"
     dtype: jnp.dtype = jnp.float32
+    bn_out: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False):
@@ -605,7 +631,7 @@ class IDAUpStage(nn.Module):
                 dcn_impl=self.dcn_impl,
                 dcn_max_offset=self.dcn_max_offset,
                 offset_bound=self.offset_bound, dtype=self.dtype,
-                name=f"proj_{i}",
+                bn_out=self.bn_out, name=f"proj_{i}",
             )(layers[i], train=train)
             upsampled = DepthwiseUpsample(
                 int(self.up_factors[i]), impl=self.up_impl,
@@ -617,7 +643,7 @@ class IDAUpStage(nn.Module):
                 dcn_impl=self.dcn_impl,
                 dcn_max_offset=self.dcn_max_offset,
                 offset_bound=self.offset_bound, dtype=self.dtype,
-                name=f"node_{i}",
+                bn_out=self.bn_out, name=f"node_{i}",
             )(upsampled + layers[i - 1], train=train)
         return layers
 
@@ -633,6 +659,7 @@ class DLAUp(nn.Module):
     offset_bound: Optional[float] = None
     up_impl: str = "dilated"
     dtype: jnp.dtype = jnp.float32
+    bn_out: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False):
@@ -654,6 +681,7 @@ class DLAUp(nn.Module):
                 offset_bound=self.offset_bound,
                 up_impl=self.up_impl,
                 dtype=self.dtype,
+                bn_out=self.bn_out,
                 name=f"ida_{i}",
             )
             updated = stage(layers[j:], train=train)
@@ -681,6 +709,7 @@ class DLASeg(nn.Module):
     fuse_heads: bool = False
     up_impl: str = "dilated"
     dtype: jnp.dtype = jnp.float32
+    bn_out: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> List[jnp.ndarray]:
@@ -688,7 +717,7 @@ class DLASeg(nn.Module):
 
         levels = DLATrunk(
             stem_s2d=self.stem_s2d, early_pack=self.early_pack,
-            dtype=self.dtype, name="base"
+            dtype=self.dtype, bn_out=self.bn_out, name="base"
         )(img, train=train)
 
         channels = list(DLA34_CHANNELS[first_level:])
@@ -697,7 +726,7 @@ class DLASeg(nn.Module):
             dcn_max_offset=self.dcn_max_offset,
                 offset_bound=self.offset_bound,
             up_impl=self.up_impl,
-            dtype=self.dtype, name="dla_up",
+            dtype=self.dtype, bn_out=self.bn_out, name="dla_up",
         )(levels[first_level:], train=train)
 
         y = list(dla_up_out[: self.last_level - first_level])
@@ -707,7 +736,7 @@ class DLASeg(nn.Module):
             dcn_impl=self.dcn_impl, dcn_max_offset=self.dcn_max_offset,
                 offset_bound=self.offset_bound,
             up_impl=self.up_impl,
-            dtype=self.dtype,
+            dtype=self.dtype, bn_out=self.bn_out,
             name="ida_up",
         )(y, train=train)
         features = y[-1]
@@ -793,6 +822,10 @@ class CenterpointDLA34(nn.Module):
     early_pack: int = 0
     fuse_heads: bool = False
     up_impl: str = "dilated"
+    # bf16 BN outputs (round-4 HBM lever; see _bn): f32 default is the
+    # parity-suite-exact flow, bf16 the served variant certified by the
+    # quantize_accuracy_check 'flax-bf16-bn16' rung.
+    bn_out: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> Prediction:
@@ -817,6 +850,7 @@ class CenterpointDLA34(nn.Module):
                 fuse_heads=self.fuse_heads,
                 up_impl=self.up_impl,
                 dtype=self.dtype,
+                bn_out=self.bn_out,
                 name="model",
             )(img, train=train)
         )

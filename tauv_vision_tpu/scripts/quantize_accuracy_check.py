@@ -22,6 +22,7 @@ Runs on the TPU chip (~5 min: ~47 s compile + ~300 train steps at
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 from math import pi
 
@@ -213,6 +214,13 @@ SWEEP_LADDER = (
     # context every chain rung's number must be read against.
     ("flax-bf16", dict(per_channel=True, bias_correct=False, strip=(),
                        flax_bf16=True)),
+    # Round-4 HBM lever rung: the flax bf16 pipeline with BatchNorm
+    # OUTPUTS rounded to bf16 (models/centerpoint_dla._bn bn_out — the
+    # BN math stays f32).  Read against --baseline f32 next to
+    # flax-bf16: the delta between the two rows is the entire decoded
+    # cost of halving every BN->join->relu map's HBM width.
+    ("flax-bf16-bn16", dict(per_channel=True, bias_correct=False, strip=(),
+                            flax_bf16=True, bn16=True)),
     # Tenth ladder (round 4): served-dtype rungs for the north-star
     # config (VERDICT r3 items 2+3).  The bf16 pipeline's own decoded
     # scores sit ~2.25e-3 off the f32 forward (context rung above), so
@@ -320,10 +328,13 @@ def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
         if cfg.get("flax_bf16"):
             import jax
 
-            print("rung flax-bf16 (serving pipeline, no chain)...",
+            tag = "bn16" if cfg.get("bn16") else "bf16"
+            print(f"rung flax-{tag} (serving pipeline, no chain)...",
                   flush=True)
             scales = {}
-            dets = collect(jax.jit(raw_pipeline))
+            dets = collect(jax.jit(
+                bn16_pipeline if cfg.get("bn16") else raw_pipeline
+            ))
         else:
             f32 = cfg.get("f32", ())
             print(f"rung {name}: {len(scales)} int8 convs"
@@ -585,6 +596,15 @@ def main(argv=None):
     def f32_pipeline(frames_uint8):
         img = frames_uint8.astype(jnp.float32) / 255.0
         prediction = model_f32.apply(trained, img, train=False)
+        return decode_fn(prediction)
+
+    model_bn16 = dataclasses.replace(
+        model, bn_out=jnp.bfloat16, parent=None, name=None
+    )
+
+    def bn16_pipeline(frames_uint8):
+        img = frames_uint8.astype(jnp.bfloat16) / 255.0
+        prediction = model_bn16.apply(trained, img, train=False)
         return decode_fn(prediction)
 
     eval_rng = np.random.default_rng(1007)

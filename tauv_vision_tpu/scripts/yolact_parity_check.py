@@ -68,6 +68,14 @@ LADDER = (
     # deltas of the int8 upsample quantization.
     ("pc+outputs+head+int8T",
      ("prediction_head", "protonet/output"), (), "int8_transpose"),
+    # Round-4 bf16-joins rung: the passing serving rung with the ResNet
+    # residual joins / feature taps rounded to bf16 (ChainCtx
+    # join_dtype) — the HBM lever behind bench --bf16-joins.  The joins
+    # feed int8 requantizers, so the expected perturbation is a
+    # fraction of the already-measured int8 noise; this rung measures
+    # it on decoded outputs.
+    ("pc+outputs+head+join16",
+     ("prediction_head", "protonet/output"), (), "join16"),
 )
 
 
@@ -325,14 +333,14 @@ def main(argv=None):
                   f" mask_iou={stats.get('mask_iou_mean')}"
                   f" le_1e3={stats.get('all_deltas_le_1e3')}", flush=True)
             continue
-        int8_t = (
-            "phase-xla"
-            if len(entry) > 3 and entry[3] == "int8_transpose" else None
-        )
+        mode = entry[3] if len(entry) > 3 else None
+        int8_t = "phase-xla" if mode == "int8_transpose" else None
+        join_dtype = jnp.bfloat16 if mode == "join16" else None
         scales = strip_scales(scales_pc, strip) if strip else scales_pc
         fwd = yolact_chain_forward(model_config, trained, scales,
                                    f32_paths=f32_paths,
-                                   int8_transpose=int8_t)
+                                   int8_transpose=int8_t,
+                                   join_dtype=join_dtype)
 
         def chain_pipeline(frames_uint8):
             img = frames_uint8.astype(jnp.bfloat16) / 255.0

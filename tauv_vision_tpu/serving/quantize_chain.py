@@ -161,7 +161,8 @@ class ChainCtx:
                  ranges: Optional[Dict[str, tuple]] = None,
                  wq_override: Optional[Dict[str, tuple]] = None,
                  f32_paths: Tuple[str, ...] = (),
-                 int8_transpose: Optional[str] = None):
+                 int8_transpose: Optional[str] = None,
+                 join_dtype=None):
         self.params = variables["params"]
         self.stats = variables.get("batch_stats", {})
         self.scales = scales
@@ -212,6 +213,23 @@ class ChainCtx:
         # bit-identical int8-sim reference (CPU tests; slow on chip).
         # All three are bit-equal to each other.
         self.int8_transpose = int8_transpose
+        # Round-4 HBM lever: the flax dtype flow keeps residual joins,
+        # feature taps, and their relu outputs in f32 (flax BN runs
+        # dtype=f32 and values flow onward unrounded — see run_layer's
+        # docstring), so the chain materializes f32 activation maps at
+        # every ResNet block boundary (~471 MB per layer1 map at batch
+        # 128) even though the consumers immediately requantize to
+        # int8.  ``join_dtype=jnp.bfloat16`` rounds those join tensors,
+        # halving that traffic.  None (default) keeps the bit-exact
+        # flax flow; the bf16-joins serving rung is certified by its
+        # own decoded-delta ladder rung (yolact_parity_check
+        # 'pc+outputs+head+join16').
+        self.join_dtype = join_dtype
+
+    def join(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Round a cross-layer join tensor to ``join_dtype`` (no-op in
+        the exact-flow default)."""
+        return x if self.join_dtype is None else x.astype(self.join_dtype)
 
     def s(self, path: str) -> float:
         return self.scales[path]
@@ -556,16 +574,20 @@ def _basic_block(ctx: ChainCtx, x, prefix: str, stride: int,
         x, f"{prefix}/conv1", strides=(stride, stride), padding=1,
         bn_path=f"{prefix}/bn1", act="relu", next_path=f"{prefix}/conv2",
     )
-    pre_residual = ctx.run_layer(q1, f"{prefix}/conv2", padding=1,
-                                 bn_path=f"{prefix}/bn2")
+    pre_residual = ctx.join(ctx.run_layer(
+        q1, f"{prefix}/conv2", padding=1, bn_path=f"{prefix}/bn2"
+    ))
     if downsample:
-        identity = ctx.run_layer(
+        identity = ctx.join(ctx.run_layer(
             x, f"{prefix}/downsample_conv", strides=(stride, stride),
             padding=0, bn_path=f"{prefix}/downsample_bn",
-        )
+        ))
     else:
         identity = x
-    out = jnp.maximum(pre_residual + identity.astype(jnp.float32), 0.0)
+    out = jnp.maximum(
+        pre_residual + identity.astype(pre_residual.dtype),
+        jnp.zeros((), pre_residual.dtype),
+    )
     return out, pre_residual
 
 
@@ -592,7 +614,10 @@ def resnet18_chain(ctx: ChainCtx, img) -> Tuple[jnp.ndarray, ...]:
             ctx, x, f"backbone/layer{layer_i}_1", 1, False
         )
         if layer_i >= 2:
-            taps.append(tap.astype(jnp.float32))
+            taps.append(
+                tap if ctx.join_dtype is not None
+                else tap.astype(jnp.float32)
+            )
     return tuple(taps)
 
 
@@ -719,7 +744,8 @@ def prediction_head_chain(
 def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
                          dtype=jnp.bfloat16, corrections=None, gains=None,
                          ranges=None, wq_override=None, ctx=None,
-                         f32_paths=(), int8_transpose=None):
+                         f32_paths=(), int8_transpose=None,
+                         join_dtype=None):
     """Returns ``fn(img) -> YolactPrediction`` running the chain-int8
     YOLACT forward (models/yolact.py:50-116)."""
     from tauv_vision_tpu.models.yolact import YolactPrediction
@@ -730,7 +756,8 @@ def yolact_chain_forward(model_config, variables, scales: Dict[str, float],
         ctx = ChainCtx(variables, scales, dtype=dtype,
                        corrections=corrections, gains=gains, ranges=ranges,
                        wq_override=wq_override, f32_paths=f32_paths,
-                       int8_transpose=int8_transpose)
+                       int8_transpose=int8_transpose,
+                       join_dtype=join_dtype)
     anchor = jnp.asarray(
         get_all_anchors(cfg.in_h, cfg.in_w, cfg.n_fpn_levels,
                         cfg.anchor_scales, cfg.anchor_aspect_ratios)
@@ -770,7 +797,7 @@ def make_yolact_chain_pipeline(
     model_config, variables, scales: Dict[str, float],
     top_k: int = 20, iou_threshold: float = 0.5,
     confidence_threshold: float = 0.5, dtype=jnp.bfloat16, jit: bool = True,
-    corrections=None, gains=None, int8_transpose=None,
+    corrections=None, gains=None, int8_transpose=None, join_dtype=None,
 ):
     """uint8 frames -> decoded YolactDetections via the chain-int8
     forward (drop-in for make_yolact_pipeline + quantized_call)."""
@@ -780,7 +807,8 @@ def make_yolact_chain_pipeline(
     cfg = model_config
     forward = yolact_chain_forward(cfg, variables, scales, dtype=dtype,
                                    corrections=corrections, gains=gains,
-                                   int8_transpose=int8_transpose)
+                                   int8_transpose=int8_transpose,
+                                   join_dtype=join_dtype)
 
     def pipeline(img_uint8):
         img = preprocess(
@@ -806,19 +834,20 @@ def _dla_basic_block(ctx: ChainCtx, x, prefix: str, stride: int, residual):
         x, f"{prefix}/conv1", strides=(stride, stride), padding=1,
         bn_path=f"{prefix}/bn1", act="relu", next_path=f"{prefix}/conv2",
     )
-    out = ctx.run_layer(q, f"{prefix}/conv2", padding=1,
-                        bn_path=f"{prefix}/bn2")
+    out = ctx.join(ctx.run_layer(q, f"{prefix}/conv2", padding=1,
+                                 bn_path=f"{prefix}/bn2"))
     residual = pad_to_match(residual, out.shape[1:3])
-    return jnp.maximum(out + residual.astype(jnp.float32), 0.0)
+    return jnp.maximum(
+        out + residual.astype(out.dtype), jnp.zeros((), out.dtype)
+    )
 
 
 def _dla_root(ctx: ChainCtx, children, prefix: str):
-    x = jnp.concatenate(
-        [c.astype(jnp.float32) for c in children], axis=-1
-    )
-    out = ctx.run_layer(x, f"{prefix}/conv", padding=0,
-                        bn_path=f"{prefix}/bn")
-    return jnp.maximum(out, 0.0)
+    jd = ctx.join_dtype or jnp.float32
+    x = jnp.concatenate([c.astype(jd) for c in children], axis=-1)
+    out = ctx.join(ctx.run_layer(x, f"{prefix}/conv", padding=0,
+                                 bn_path=f"{prefix}/bn"))
+    return jnp.maximum(out, jnp.zeros((), out.dtype))
 
 
 def _dla_tree(ctx: ChainCtx, x, prefix: str, levels: int, in_ch: int,
@@ -1004,10 +1033,8 @@ def _ida_stage_chain(ctx: ChainCtx, layers, prefix: str, up_factors,
         else:
             upsampled = projected
         upsampled = pad_to_match(upsampled, layers[i - 1].shape[1:3])
-        joined = (
-            upsampled.astype(jnp.float32)
-            + layers[i - 1].astype(jnp.float32)
-        )
+        jd = ctx.join_dtype or jnp.float32
+        joined = upsampled.astype(jd) + layers[i - 1].astype(jd)
         if deform:
             layers[i] = _dcn_block_chain(
                 ctx, joined, f"{prefix}/node_{i}",
@@ -1027,7 +1054,8 @@ def dla34_chain_forward(object_config, variables,
                         corrections=None, gains=None, ranges=None,
                         wq_override=None, ctx=None, f32_paths=(),
                         deform=False, dcn_max_offset: float = 1.0,
-                        offset_bound=None, dcn_impl: str = "pallas"):
+                        offset_bound=None, dcn_impl: str = "pallas",
+                        join_dtype=None):
     """Chain-int8 CenterpointDLA34 forward -> Prediction
     (models/centerpoint_dla.py DLASeg + CenterpointDLA34).
 
@@ -1043,7 +1071,8 @@ def dla34_chain_forward(object_config, variables,
     if ctx is None:
         ctx = ChainCtx(variables, scales, dtype=dtype,
                        corrections=corrections, gains=gains, ranges=ranges,
-                       wq_override=wq_override, f32_paths=f32_paths)
+                       wq_override=wq_override, f32_paths=f32_paths,
+                       join_dtype=join_dtype)
     oc = object_config
     head_channels = get_head_channels(oc)
     first_level = 2  # down_ratio 4
@@ -1128,7 +1157,7 @@ def make_centernet_chain_pipeline(
     n_detections: int = 10, score_threshold: float = 0.6,
     dtype=jnp.bfloat16, jit: bool = True, corrections=None, gains=None,
     deform=False, dcn_max_offset: float = 1.0, offset_bound=None,
-    dcn_impl: str = "pallas",
+    dcn_impl: str = "pallas", join_dtype=None,
 ):
     """uint8 frames -> decoded Detections via the chain-int8 DLA-34
     forward (drop-in for make_centernet_pipeline + quantized_call)."""
@@ -1144,7 +1173,7 @@ def make_centernet_chain_pipeline(
                                   gains=gains, deform=deform,
                                   dcn_max_offset=dcn_max_offset,
                                   offset_bound=offset_bound,
-                                  dcn_impl=dcn_impl)
+                                  dcn_impl=dcn_impl, join_dtype=join_dtype)
 
     def pipeline(img_uint8):
         img = preprocess(

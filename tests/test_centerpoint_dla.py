@@ -179,3 +179,46 @@ def test_merged_offset_mask_bit_identical():
     assert jnp.array_equal(merged, two), float(
         jnp.max(jnp.abs(merged - two))
     )
+
+
+def test_bn_out_bf16_close_to_f32_flow():
+    """bn_out=bf16 rounds every BatchNorm output once (the round-4 HBM
+    lever); with shared params the heads must stay within bf16-rounding
+    distance of the exact f32-flow model.  The decoded-delta
+    certification at production scale is quantize_accuracy_check's
+    flax-bf16-bn16 rung."""
+    oc = ObjectConfigSet(
+        configs=(
+            ObjectConfig(
+                id="torpedo",
+                yaw=AngleConfig(train=True, modulo=2 * pi),
+                pitch=AngleConfig(train=False, modulo=None),
+                roll=AngleConfig(train=False, modulo=None),
+                train_depth=True,
+                train_keypoints=False,
+                keypoints=(),
+            ),
+        )
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, 64, 96, 3)).astype(np.float32))
+    base = CenterpointDLA34(
+        object_config=oc, head_conv=32, dtype=jnp.bfloat16, deform=False
+    )
+    variables = base.init(jax.random.key(0), img, train=False)
+    ref = base.apply(variables, img, train=False)
+    b16 = CenterpointDLA34(
+        object_config=oc, head_conv=32, dtype=jnp.bfloat16, deform=False,
+        bn_out=jnp.bfloat16,
+    ).apply(variables, img, train=False)
+    for field in ("heatmap", "size", "offset", "depth"):
+        r = np.asarray(getattr(ref, field), np.float32)
+        g = np.asarray(getattr(b16, field), np.float32)
+        assert g.shape == r.shape, field
+        denom = np.abs(r).max() + 1e-9
+        # one extra bf16 rounding per BN in an already-bf16 conv graph
+        assert np.abs(g - r).max() / denom < 0.03, (
+            field, np.abs(g - r).max() / denom
+        )

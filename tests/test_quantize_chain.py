@@ -71,6 +71,44 @@ def test_yolact_chain_matches_per_layer_int8():
     )
 
 
+def test_yolact_chain_bf16_joins_close_to_exact_flow():
+    """join_dtype=bf16 rounds only the ResNet residual joins / taps —
+    the outputs must stay within bf16-rounding distance of the exact
+    f32-flow chain (the serving-level certification is the parity
+    ladder's join16 rung; this guards the mechanism)."""
+    from tauv_vision_tpu.models.yolact import Yolact
+    from tauv_vision_tpu.serving.quantize_chain import yolact_chain_forward
+
+    cfg = _small_cfg()
+    model = Yolact(cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    apply_fn = lambda b: model.apply(variables, b, train=False)  # noqa: E731
+
+    scales = calibrate(apply_fn, [x])
+    exact = jax.jit(
+        yolact_chain_forward(cfg, variables, scales, dtype=jnp.float32)
+    )(x)
+    joined = jax.jit(
+        yolact_chain_forward(cfg, variables, scales, dtype=jnp.float32,
+                             join_dtype=jnp.bfloat16)
+    )(x)
+    for field in ("classification", "box_encoding", "mask_coeff",
+                  "mask_prototype"):
+        e = np.asarray(getattr(exact, field))
+        j = np.asarray(getattr(joined, field))
+        assert np.isfinite(j).all(), field
+        denom = np.abs(e).max() + 1e-9
+        # The join rounding perturbs int8 quantization codes, and at
+        # this tiny random-init scale single code flips dominate — the
+        # same regime as the chain-vs-per-layer bar above (0.2).  The
+        # production-scale decoded certification is the ladder rung.
+        assert np.abs(j - e).max() / denom < 0.2, (
+            field, np.abs(j - e).max() / denom
+        )
+
+
 @pytest.mark.slow
 def test_dla34_chain_matches_per_layer_int8():
     from math import pi
