@@ -1263,8 +1263,13 @@ def main():
     # --bn-bf16: CenterNet flax model with BatchNorm outputs rounded to
     # bf16 (models/centerpoint_dla._bn) — the BN math stays f32, only
     # the materialized maps shrink.  Decoded-delta certification:
-    # quantize_accuracy_check 'flax-bf16-bn16' rung.
-    bn_bf16 = "--bn-bf16" in sys.argv
+    # quantize_accuracy_check 'flax-bf16-bn16' rung.  The north-star
+    # profile serves this variant by default (interleaved A/B: 1.040x
+    # whole-CN, bn_ab_probe); --exact-flow restores the f32 join flow.
+    exact_flow = "--exact-flow" in sys.argv
+    bn_bf16 = "--bn-bf16" in sys.argv or (
+        "--north-star" in sys.argv and not exact_flow
+    )
     cn_pipeline, cn_vars, cn_model, cn_cfg, cn_raw = build_centernet(
         deform=deform, dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
         dcn_bound=dcn_bound, early_pack=early_pack, up_impl=up_impl,
@@ -1348,9 +1353,13 @@ def main():
     # joins feed int8 requantizers, and their f32 maps are pure HBM
     # traffic (~471 MB per layer1 map at batch 128).  Decoded-delta
     # evidence: yolact_parity_check rung 'pc+outputs+head+join16'.
-    if "--bf16-joins" in sys.argv:
-        import jax.numpy as jnp  # noqa: F811
-
+    # The north-star profile serves bf16 joins by default (certified:
+    # yolact_parity_check 'pc+outputs+head+join16' — every decoded
+    # delta <=1e-3, mask IoU 0.9966; interleaved A/B 1.043x,
+    # joins_ab_probe); --exact-flow restores the flax-exact f32 flow.
+    if "--bf16-joins" in sys.argv or (
+        north_star and "--exact-flow" not in sys.argv
+    ):
         yl_join_dtype = jnp.bfloat16
     else:
         yl_join_dtype = None

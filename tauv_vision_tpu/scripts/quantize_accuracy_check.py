@@ -260,7 +260,8 @@ SWEEP_LADDER = (
 
 
 def _run_sweep(args, raw_pipeline, cal_frames, make_chain_fn, collect,
-               pair_deltas, dets_bf16, truths, seq_calibrate=None):
+               pair_deltas, dets_bf16, truths, seq_calibrate=None,
+               bn16_pipeline=None):
     """Walk SWEEP_LADDER, reporting decoded agreement vs bf16 per rung.
 
     The question this answers (VERDICT r2 item 1a): how much of the
@@ -915,6 +916,7 @@ def main(argv=None):
             args, raw_pipeline, cal_frames, make_chain_fn, collect,
             pair_deltas_kp if args.keypoints else pair_deltas,
             dets_bf16, truths, seq_calibrate=seq_calibrate,
+            bn16_pipeline=bn16_pipeline,
         )
 
     print("calibrating int8...", flush=True)
