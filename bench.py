@@ -1267,9 +1267,17 @@ def main():
     # profile serves this variant by default (interleaved A/B: 1.040x
     # whole-CN, bn_ab_probe); --exact-flow restores the f32 join flow.
     exact_flow = "--exact-flow" in sys.argv
-    bn_bf16 = "--bn-bf16" in sys.argv or (
-        "--north-star" in sys.argv and not exact_flow
+    # The north-star profile is also the no-args DEFAULT since round 4
+    # (see the north_star block below) — decide that here, before the
+    # CN model is built, so the default gets the certified bn16 path.
+    is_north_star = "--north-star" in sys.argv or (
+        "--chain-int8" not in sys.argv
+        and "--per-layer-int8" not in sys.argv
+        and "--bf16" not in sys.argv
+        and "--parity-int8" not in sys.argv
+        and not deform
     )
+    bn_bf16 = "--bn-bf16" in sys.argv or (is_north_star and not exact_flow)
     cn_pipeline, cn_vars, cn_model, cn_cfg, cn_raw = build_centernet(
         deform=deform, dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
         dcn_bound=dcn_bound, early_pack=early_pack, up_impl=up_impl,
@@ -1304,6 +1312,14 @@ def main():
     # graph sharing the 480->360 resize (make_combined_pipeline,
     # bit-identical outputs to the separate dispatches).
     north_star = "--north-star" in sys.argv
+    # Round 4: the north-star configuration is the DEFAULT profile —
+    # it is the config that satisfies BOTH halves of the target at once
+    # (median 1026.5 fps over 3 runs: 1031.28/1026.15/1026.47, with the
+    # decoded-parity certification tables in PARITY.md), so the driver's
+    # no-args run records it.  The throughput-max chain-int8 profile
+    # (1124 fps, CN size p95 1.3e-3 — fails the parity bar) stays
+    # reachable via --chain-int8.
+    north_star = north_star or is_north_star
     # Round 4 measured and KILLED the planned --north-star-v2 variant
     # (CN chain float + int8 IDA/DLAup aggregation + f32 heads): on 512
     # images vs the bf16 float path even the cheapest CN int8 rung

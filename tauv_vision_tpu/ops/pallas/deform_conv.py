@@ -174,6 +174,94 @@ def _dcn_kernel(
 
     const_hat = variant == "const_hat"
 
+    if variant == "lerp2":
+        # Select-free bounded-bilinear formulation, exact for
+        # |offset| <= 1 like "lerp", restructured to starve the VPU of
+        # plumbing work (the lerp kernel is VPU-op-count-bound at ~2x
+        # its sampling-arithmetic floor; BENCH.md round-4):
+        #   * ALL hat weights are computed on NARROW [H, wb, n_pack]
+        #     planes (~1/64 the vregs of a lane-wide plane), not on
+        #     broadcast copies: wx0/wxm/wxp = signed hats of dx, and
+        #     the y-hats arrive PRE-MULTIPLIED by the modulation mask
+        #     (my0/mym/myp), folding the mask multiply away entirely;
+        #   * the per-pixel selects of "lerp" (4 jnp.where per tap on
+        #     full planes) disappear — the signed hats zero the unused
+        #     side, so sampling is 12 lane-wide mul/FMAs per tap;
+        #   * each weight reaches the lanes through ONE
+        #     broadcast+reshape ([H,wb,n_pack,1] -> [H,wb,cp], lane l
+        #     reading pack l // (cp/n_pack)) instead of lane_plane's
+        #     n_pack broadcasts + f32 pack-mux selects.
+        cpp = cp // n_pack
+
+        def expand(narrow):
+            # [H, wb, n_pack] f32 -> [H, wb, cp]: lane l = pack l//cpp.
+            return jnp.broadcast_to(
+                narrow[:, :, :, None], (h, wb, n_pack, cpp)
+            ).reshape(h, wb, cp)
+
+        def narrow_plane(src, channels):
+            # Stack one scalar plane per pack into a narrow array.
+            return jnp.stack([src[:, :, ch] for ch in channels], axis=-1)
+
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+        for tap in range(kk):
+            ky, kx = tap // k, tap % k
+            base_y = ky - pad
+            base_x = kx - pad
+            j0 = base_x - sx_lo
+
+            dy_n = narrow_plane(
+                offset, [p * 2 * kk + 2 * tap for p in range(n_pack)]
+            ).astype(jnp.float32)
+            dx_n = narrow_plane(
+                offset, [p * 2 * kk + 2 * tap + 1 for p in range(n_pack)]
+            ).astype(jnp.float32)
+            wxm_n = jnp.maximum(zero, -dx_n)
+            wxp_n = jnp.maximum(zero, dx_n)
+            wx0_n = one - wxm_n - wxp_n
+            wym_n = jnp.maximum(zero, -dy_n)
+            wyp_n = jnp.maximum(zero, dy_n)
+            wy0_n = one - wym_n - wyp_n
+            if use_mask:
+                m_n = narrow_plane(
+                    mask, [p * kk + tap for p in range(n_pack)]
+                ).astype(jnp.float32)
+                wy0_n = wy0_n * m_n
+                wym_n = wym_n * m_n
+                wyp_n = wyp_n * m_n
+
+            wx0 = expand(wx0_n)
+            wxm = expand(wxm_n)
+            wxp = expand(wxp_n)
+            my0 = expand(wy0_n)
+            mym = expand(wym_n)
+            myp = expand(wyp_n)
+
+            r0 = pl.ds(halo + base_y, h)
+            rm1 = pl.ds(halo + base_y - 1, h)
+            rp1 = pl.ds(halo + base_y + 1, h)
+
+            def xhat(row):
+                return (
+                    wx0 * xrot_ref[j0, row, :, :]
+                    + wxm * xrot_ref[j0 - 1, row, :, :]
+                    + wxp * xrot_ref[j0 + 1, row, :, :]
+                )
+
+            sampled = my0 * xhat(r0) + mym * xhat(rm1) + myp * xhat(rp1)
+
+            acc_ref[:] += jax.lax.dot_general(
+                sampled.reshape(h * wb, cp).astype(weight_ref.dtype),
+                weight_ref[tap],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        out = acc_ref[:] + bias_ref[0][None, :]
+        out_ref[0] = out.reshape(h, wb, -1).astype(out_ref.dtype)
+        return
+
     if variant == "lerp":
         # Sign-selected lerp formulation, exact for |offset| <= 1:
         # for d in [-1, 1] the bilinear neighbors are {0, sign(d)} with
@@ -332,10 +420,10 @@ def deform_conv2d_pallas(
       hat/broadcast cost, NOT DCN math).
     Returns [B, H, W, O] in x.dtype.
     """
-    if variant == "lerp":
+    if variant in ("lerp", "lerp2"):
         assert max_offset <= 1, (
-            "the lerp formulation is exact only for |offset| <= 1; use "
-            "variant='full' for larger radii"
+            "the lerp formulations are exact only for |offset| <= 1; "
+            "use variant='full' for larger radii"
         )
     b, h, w, c = x.shape
     kh, kw, _, out_c = weight.shape

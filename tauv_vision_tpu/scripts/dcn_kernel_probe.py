@@ -36,6 +36,11 @@ SHAPES = [
 ]
 
 VARIANTS = ("full", "lerp", "const_hat")
+# Round 4 adds "lerp2": select-free narrow-hat restructure — hat
+# weights computed on narrow [H, wb, n_pack] planes and folded with the
+# mask, reaching the lanes through one broadcast+reshape each; per tap
+# 12 lane-wide mul/FMAs + 6 broadcasts vs lerp's ~16 ops + 3 pack-muxed
+# broadcasts.  Select arms with --variants a,b,c.
 # Round-1 decomposition at r=0.5 (this chip): full 20.25 ms, bf16_hat
 # 28.05 ms (SLOWER — the VPU computes in f32, the converts dominate;
 # arm dropped), const_hat 12.75 ms (hat math + offset broadcasts are
@@ -48,6 +53,11 @@ def main() -> None:
     ints = [a for a in sys.argv[1:] if a.replace(".", "").isdigit()]
     batch = int(ints[0]) if ints else 64
     rounds = int(ints[1]) if len(ints) > 1 else 3
+    variants = VARIANTS
+    if "--variants" in sys.argv:
+        variants = tuple(
+            sys.argv[sys.argv.index("--variants") + 1].split(",")
+        )
 
     import pathlib
 
@@ -108,7 +118,7 @@ def main() -> None:
 
     cases = {}
     for h, w, c, o, r in SHAPES:
-        for v in VARIANTS:
+        for v in variants:
             cases[f"r{r}/{v}"] = make_case(h, w, c, o, r, v)
 
     results = {k: [] for k in cases}

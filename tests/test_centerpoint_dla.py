@@ -181,6 +181,7 @@ def test_merged_offset_mask_bit_identical():
     )
 
 
+@pytest.mark.slow
 def test_bn_out_bf16_close_to_f32_flow():
     """bn_out=bf16 rounds every BatchNorm output once (the round-4 HBM
     lever); with shared params the heads must stay within bf16-rounding

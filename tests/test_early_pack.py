@@ -71,6 +71,7 @@ def test_block_diag_kernel_structure():
     assert np.abs(kp).sum() == pytest.approx(3 * np.abs(np.asarray(k)).sum())
 
 
+@pytest.mark.slow
 def test_packed_trunk_matches_unpacked_f64():
     """Same variables, packed vs unpacked DLATrunk: equal outputs.
 

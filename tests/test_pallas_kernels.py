@@ -183,6 +183,58 @@ def test_deform_conv_pallas_bf16_hat_variant():
     assert g.shape == ref.shape and bool(jnp.isfinite(g).all())
 
 
+def test_deform_conv_pallas_lerp_variants_exact():
+    """Both bounded-radius fast formulations — "lerp" (sign-selected
+    bilinear, the round-3 serving kernel) and "lerp2" (select-free
+    narrow-hat restructure, round 4) — match the gather reference at
+    1e-4 for |offset| <= 1, on the unpacked AND the batch-pair-packed
+    (c == 64) paths."""
+    from tauv_vision_tpu.ops.deform_conv import deform_conv2d
+    from tauv_vision_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
+
+    rng = np.random.default_rng(8)
+    for b, h, w, c, o in ((2, 11, 16, 8, 8), (4, 9, 12, 64, 64)):
+        x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+        offset = np.asarray(
+            rng.uniform(-1, 1, (b, h, w, 18)).astype(np.float32)
+        )
+        # Exercise the +-r edges explicitly (the lerp forms switch
+        # neighbor sets at 0 and saturate hats at +-1).
+        offset[0, 0, 0, :4] = [1.0, -1.0, 0.0, 1.0]
+        offset = jnp.asarray(offset)
+        mask = jnp.asarray(
+            rng.uniform(0, 1, (b, h, w, 9)).astype(np.float32)
+        )
+        weight = jnp.asarray(
+            (rng.standard_normal((3, 3, c, o)) * 0.1).astype(np.float32)
+        )
+        bias = jnp.asarray(rng.standard_normal(o).astype(np.float32))
+        ref = deform_conv2d(
+            x, offset, mask, weight, bias, stride=1, padding=1
+        )
+        for variant in ("lerp", "lerp2"):
+            got = deform_conv2d_pallas(
+                x, offset, mask, weight, bias, padding=1, max_offset=1,
+                cols_per_block=8, interpret=True, variant=variant,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4,
+                err_msg=f"variant={variant} c={c}",
+            )
+        # lerp2 without a modulation mask (the mask fold has a
+        # ones-path too).
+        ref_nm = deform_conv2d(
+            x, offset, None, weight, None, stride=1, padding=1
+        )
+        got_nm = deform_conv2d_pallas(
+            x, offset, None, weight, None, padding=1, max_offset=1,
+            cols_per_block=8, interpret=True, variant="lerp2",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_nm), np.asarray(ref_nm), rtol=1e-4, atol=1e-4,
+        )
+
+
 def test_deform_conv_pallas_fractional_radius():
     """max_offset=0.5 (the bounded-offset serving config) uses a 3x3
     shift window and stays exact for |offset| <= 0.5."""

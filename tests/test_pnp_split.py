@@ -12,6 +12,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tauv_vision_tpu.configs.yolo_pose import YoloPoseModelConfig
 from tauv_vision_tpu.models.yolo_pose import YoloPose
@@ -48,6 +49,7 @@ def _tiny():
     return cfg, model, variables, frames, object_points, camera
 
 
+@pytest.mark.slow
 def test_split_pnp_matches_fused():
     cfg, model, variables, frames, obj, cam = _tiny()
     fused = make_yolo_pose_pipeline(

@@ -71,6 +71,7 @@ def test_yolact_chain_matches_per_layer_int8():
     )
 
 
+@pytest.mark.slow
 def test_yolact_chain_bf16_joins_close_to_exact_flow():
     """join_dtype=bf16 rounds only the ResNet residual joins / taps —
     the outputs must stay within bf16-rounding distance of the exact
