@@ -1267,16 +1267,28 @@ def main():
     # profile serves this variant by default (interleaved A/B: 1.040x
     # whole-CN, bn_ab_probe); --exact-flow restores the f32 join flow.
     exact_flow = "--exact-flow" in sys.argv
-    # The north-star profile is also the no-args DEFAULT since round 4
-    # (see the north_star block below) — decide that here, before the
-    # CN model is built, so the default gets the certified bn16 path.
-    is_north_star = "--north-star" in sys.argv or (
-        "--chain-int8" not in sys.argv
-        and "--per-layer-int8" not in sys.argv
-        and "--bf16" not in sys.argv
-        and "--parity-int8" not in sys.argv
-        and not deform
-    )
+    # Explicit profile selection (ADVICE r4): exactly one of the profile
+    # flags may be passed; conflicts error instead of silently winning by
+    # exclusion.  No flag = the north-star default (round 4), except
+    # --deform, which serves the chain profile (int8 trunk + bf16
+    # bounded-DCN IDA stages).
+    _profile_flags = [
+        f for f in ("--north-star", "--chain-int8", "--per-layer-int8",
+                    "--bf16", "--parity-int8")
+        if f in sys.argv
+    ]
+    if len(_profile_flags) > 1:
+        raise SystemExit(
+            f"conflicting profile flags: {' '.join(_profile_flags)}; "
+            "pass at most one"
+        )
+    if _profile_flags:
+        profile = _profile_flags[0].lstrip("-")
+    elif deform:
+        profile = "chain-int8"
+    else:
+        profile = "north-star"
+    is_north_star = profile == "north-star"
     bn_bf16 = "--bn-bf16" in sys.argv or (is_north_star and not exact_flow)
     cn_pipeline, cn_vars, cn_model, cn_cfg, cn_raw = build_centernet(
         deform=deform, dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
@@ -1292,7 +1304,7 @@ def main():
     # --bf16 the exact-parity float path (the one the 1e-3
     # reference-parity tests cover).  Round 4: the chain path covers
     # --deform too (int8 trunk + bf16 bounded-DCN IDA stages).
-    int8 = "--bf16" not in sys.argv
+    int8 = profile != "bf16"
     # --parity-int8: the decoded-parity serving profile — per-channel
     # activation scales folded into the weights, per-output-channel bias
     # correction, and a bf16 tail (--bf16-tail substrings, default the
@@ -1300,7 +1312,7 @@ def main():
     # float.  Same chain machinery; fps differs from plain chain only by
     # the tail's bf16 convs.  Decoded-delta evidence:
     # scripts/quantize_accuracy_check.py --sweep (BENCH.md table).
-    parity = "--parity-int8" in sys.argv
+    parity = profile == "parity-int8"
     # --north-star: the configuration claiming BOTH halves of
     # BASELINE.json's target in one graph.  CenterNet runs the certified
     # float serving path (bf16 — the path the 1e-3 reference-parity

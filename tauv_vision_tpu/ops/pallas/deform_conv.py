@@ -420,6 +420,11 @@ def deform_conv2d_pallas(
       hat/broadcast cost, NOT DCN math).
     Returns [B, H, W, O] in x.dtype.
     """
+    known = ("full", "lerp", "lerp2", "bf16_hat", "const_hat")
+    if variant not in known:
+        raise ValueError(
+            f"unknown DCN kernel variant {variant!r}; known: {known}"
+        )
     if variant in ("lerp", "lerp2"):
         assert max_offset <= 1, (
             "the lerp formulations are exact only for |offset| <= 1; "

@@ -94,17 +94,31 @@ def main():
     def stage_trunk(frames):
         return levels_of(pre(frames))[-1]
 
+    def sum_all(tree):
+        """Scalar summing EVERY output leaf, so no branch is DCE'd.
+
+        Mirrors yl_stage_profile's fix (ADVICE r3): returning only one
+        element of a multi-output stage lets XLA dead-code-eliminate the
+        siblings.  DLAUp's last output in particular is a passthrough of
+        trunk level 5, so `[-1]` used to DCE the entire DLAUp cascade
+        and the `+dla_up` row read ~0.
+        """
+        return sum(
+            leaf.astype(jnp.float32).sum()
+            for leaf in jax.tree_util.tree_leaves(tree)
+        )
+
     def stage_dla_up(frames):
         levels = levels_of(pre(frames))
-        return dla_up.apply(sub("dla_up"), levels[2:], train=False)[-1]
+        return sum_all(dla_up.apply(sub("dla_up"), levels[2:], train=False))
 
     def stage_ida_up(frames):
         levels = levels_of(pre(frames))
         y = dla_up.apply(sub("dla_up"), levels[2:], train=False)
-        return ida_up.apply(sub("ida_up"), list(y[:3]), train=False)[-1]
+        return sum_all(ida_up.apply(sub("ida_up"), list(y[:3]), train=False))
 
     def stage_heads(frames):
-        return model.apply(variables, pre_raw(frames), train=False).heatmap
+        return sum_all(model.apply(variables, pre_raw(frames), train=False))
 
     def pre_raw(frames):
         # model.apply includes its own cast; feed it the preprocessed map
@@ -113,7 +127,7 @@ def main():
     def stage_decode(frames):
         prediction = model.apply(variables, pre(frames), train=False)
         d = decode(prediction, cfg, 10, 0.6)
-        return d.score
+        return sum_all(d)
 
     def timeit(fn, *args, n=6, reps=2):
         @functools.partial(jax.jit, static_argnums=len(args))

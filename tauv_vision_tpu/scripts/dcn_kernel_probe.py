@@ -55,9 +55,14 @@ def main() -> None:
     rounds = int(ints[1]) if len(ints) > 1 else 3
     variants = VARIANTS
     if "--variants" in sys.argv:
-        variants = tuple(
-            sys.argv[sys.argv.index("--variants") + 1].split(",")
-        )
+        i = sys.argv.index("--variants")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--variants requires a comma-separated value")
+        variants = tuple(sys.argv[i + 1].split(","))
+        known = ("full", "lerp", "lerp2", "bf16_hat", "const_hat")
+        bad = [v for v in variants if v not in known]
+        if bad:
+            raise SystemExit(f"unknown variant(s) {bad}; known: {known}")
 
     import pathlib
 

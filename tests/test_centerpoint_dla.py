@@ -223,3 +223,28 @@ def test_bn_out_bf16_close_to_f32_flow():
         assert np.abs(g - r).max() / denom < 0.03, (
             field, np.abs(g - r).max() / denom
         )
+
+
+def test_bn_out_bf16_trunk_guard_fast():
+    """Fast-suite guard for the bn_out=bf16 mechanism (ADVICE r4): the
+    full-model check above is slow-marked, but bn16 is the DEFAULT
+    serving path since round 4, so a shrunken variant must stay in the
+    fast suite.  A tiny trunk exercises the same _bn plumbing through
+    BasicBlock/Root/Tree with shared params."""
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    tiny = dict(levels=(1, 1, 1, 2, 2, 1), channels=(4, 8, 8, 16, 16, 32))
+    base = DLATrunk(**tiny, dtype=jnp.bfloat16)
+    variables = base.init(jax.random.key(0), img, train=False)
+    ref = base.apply(variables, img, train=False)
+    b16 = DLATrunk(**tiny, dtype=jnp.bfloat16, bn_out=jnp.bfloat16).apply(
+        variables, img, train=False
+    )
+    for i, (r, g) in enumerate(zip(ref, b16)):
+        r = np.asarray(r, np.float32)
+        g = np.asarray(g, np.float32)
+        assert g.shape == r.shape, i
+        denom = np.abs(r).max() + 1e-9
+        assert np.abs(g - r).max() / denom < 0.03, (
+            i, np.abs(g - r).max() / denom
+        )

@@ -427,3 +427,58 @@ def test_dla34_chain_float_path_bit_exact_bf16():
         r = np.asarray(getattr(ref, field), np.float32)
         c = np.asarray(getattr(chain, field), np.float32)
         np.testing.assert_array_equal(r, c, err_msg=field)
+
+
+def test_chain_bf16_join_block_guard_fast():
+    """Fast-suite guard for the join_dtype=bf16 mechanism (ADVICE r4):
+    join16 is part of the DEFAULT north-star serving path since round
+    4, but the full-graph checks above are slow-marked.  One synthetic
+    ResNet basic block (the unit every residual join flows through)
+    exercises ChainCtx.join in both the downsample-identity and
+    pre-residual positions in <1 s."""
+    from tauv_vision_tpu.serving.quantize_chain import ChainCtx, _basic_block
+
+    rng = np.random.default_rng(5)
+
+    def conv_p(cin, cout, k):
+        return {"kernel": jnp.asarray(
+            rng.normal(size=(k, k, cin, cout)).astype(np.float32) * 0.2
+        )}
+
+    def bn_p(c):
+        return {"scale": jnp.ones((c,), jnp.float32),
+                "bias": jnp.zeros((c,), jnp.float32)}
+
+    def bn_s(c):
+        return {"mean": jnp.zeros((c,), jnp.float32),
+                "var": jnp.ones((c,), jnp.float32)}
+
+    blk = "backbone/layer2_0"
+    variables = {
+        "params": {"backbone": {"layer2_0": {
+            "conv1": conv_p(8, 16, 3), "bn1": bn_p(16),
+            "conv2": conv_p(16, 16, 3), "bn2": bn_p(16),
+            "downsample_conv": conv_p(8, 16, 1), "downsample_bn": bn_p(16),
+        }}},
+        "batch_stats": {"backbone": {"layer2_0": {
+            "bn1": bn_s(16), "bn2": bn_s(16),
+            "downsample_bn": bn_s(16),
+        }}},
+    }
+    scales = {f"{blk}/conv1": 0.05, f"{blk}/conv2": 0.05,
+              f"{blk}/downsample_conv": 0.05}
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
+
+    exact, exact_tap = _basic_block(
+        ChainCtx(variables, scales), x, blk, 2, True)
+    j16, j16_tap = _basic_block(
+        ChainCtx(variables, scales, join_dtype=jnp.bfloat16), x, blk, 2, True)
+
+    # The mechanism must actually round (bf16 taps)...
+    assert j16_tap.dtype == jnp.bfloat16
+    assert exact_tap.dtype == jnp.float32
+    # ...and stay within bf16-rounding distance of the exact flow.
+    e = np.asarray(exact, np.float32)
+    j = np.asarray(j16, np.float32)
+    denom = np.abs(e).max() + 1e-9
+    assert np.abs(j - e).max() / denom < 0.02, np.abs(j - e).max() / denom
