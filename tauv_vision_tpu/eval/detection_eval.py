@@ -169,3 +169,59 @@ def plot_pr_curve(
     if path is not None:
         plt.savefig(path)
     plt.close()
+
+
+def decoded_pair_deltas(dets_a, dets_b, match_radius: float = 0.05) -> dict:
+    """Greedy same-label nearest-center matching of decoded detections
+    (per image), returning agreement stats — the decoded-parity evidence
+    format used across PARITY.md (p50/p95/max deltas of center distance,
+    |score|, |size| in normalized image units, plus matched fraction and
+    the BASELINE <=1e-3 verdict).
+
+    The same statistic quantize_accuracy_check/yolact_parity_check
+    compute between serving rungs, factored out so the shared-weights
+    transplant harness (scripts/transplant_parity.py) reports
+    torch-vs-rebuild deltas in the identical format.
+    """
+    center_deltas, score_deltas, size_deltas = [], [], []
+    matched, total = 0, 0
+    for db, di in zip(dets_a, dets_b):
+        total += len(db)
+        used = set()
+        for d in db:
+            best, best_dist = None, match_radius
+            for j, q in enumerate(di):
+                if j in used or q.label != d.label:
+                    continue
+                dist = ((d.y - q.y) ** 2 + (d.x - q.x) ** 2) ** 0.5
+                if dist < best_dist:
+                    best, best_dist = j, dist
+            if best is not None:
+                used.add(best)
+                matched += 1
+                q = di[best]
+                center_deltas.append(best_dist)
+                score_deltas.append(abs(d.score - q.score))
+                size_deltas.append(max(abs(d.h - q.h), abs(d.w - q.w)))
+
+    stats = {
+        "total": total,
+        "matched_fraction": round(matched / max(total, 1), 4),
+    }
+    for vals, what in ((center_deltas, "center"),
+                       (score_deltas, "score"),
+                       (size_deltas, "size")):
+        if not vals:
+            continue
+        for p in (50, 95):
+            stats[f"{what}_delta_p{p}"] = round(
+                float(np.percentile(vals, p)), 6
+            )
+        stats[f"{what}_delta_max"] = round(float(np.max(vals)), 6)
+    if score_deltas:
+        stats["all_deltas_le_1e3"] = bool(
+            np.percentile(score_deltas, 95) <= 1e-3
+            and np.percentile(center_deltas, 95) <= 1e-3
+            and np.percentile(size_deltas, 95) <= 1e-3
+        )
+    return stats

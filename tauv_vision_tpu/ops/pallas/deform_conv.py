@@ -191,13 +191,27 @@ def _dcn_kernel(
         #     broadcast+reshape ([H,wb,n_pack,1] -> [H,wb,cp], lane l
         #     reading pack l // (cp/n_pack)) instead of lane_plane's
         #     n_pack broadcasts + f32 pack-mux selects.
-        cpp = cp // n_pack
-
         def expand(narrow):
-            # [H, wb, n_pack] f32 -> [H, wb, cp]: lane l = pack l//cpp.
-            return jnp.broadcast_to(
-                narrow[:, :, :, None], (h, wb, n_pack, cpp)
-            ).reshape(h, wb, cp)
+            # [H, wb, n_pack] f32 -> [H, wb, cp]: lane l = pack
+            # l // (cp/n_pack).  The round-4 form merged the pack dim
+            # into lanes with a reshape of a broadcast — Mosaic rejects
+            # that shape cast on chip (infer-vector-layout: unsupported
+            # shape cast, vector<90x16x2x64> -> vector<90x16x128>;
+            # probe r5) — so the expansion is a lane-iota mux instead:
+            # n_pack broadcasts + (n_pack-1) f32 selects per weight,
+            # the same plumbing cost lane_plane pays, while keeping
+            # lerp2's real savings (signed hats = select-free sampling,
+            # mask folded into the y-hats).
+            if n_pack == 1:
+                return jnp.broadcast_to(narrow[:, :, 0:1], (h, wb, cp))
+            out = jnp.broadcast_to(narrow[:, :, 0:1], (h, wb, cp))
+            for p in range(1, n_pack):
+                out = jnp.where(
+                    lane < p * c_real,
+                    out,
+                    jnp.broadcast_to(narrow[:, :, p:p + 1], (h, wb, cp)),
+                )
+            return out
 
         def narrow_plane(src, channels):
             # Stack one scalar plane per pack into a narrow array.

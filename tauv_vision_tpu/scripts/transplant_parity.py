@@ -1,0 +1,447 @@
+"""Full-graph shared-weights transplant parity: torch reference vs the
+TPU rebuild, decoded END-TO-END on one set of trained weights.
+
+Closes the last leg of the parity triangle (VERDICT r4 item 1): the
+round-4 story was transitive (modules vs torch at init, then served vs
+f32-flax on rebuild-trained weights).  This harness trains the TORCH
+reference production graph in-environment, transplants its state_dict
+into the rebuild via ``load_centerpoint_dla34_state_dict`` (full DLASeg:
+trunk + DLAUp + IDAUp (+DCN) + up-convs + heads,
+reference centerpoint_dla.py:411-531), and measures decoded deltas of
+
+  (a) the f32 flax pipeline, and
+  (b) the EXACT served graph (bf16 + bn16 model, serving decode,
+      serving compiler options — the north-star CN configuration for
+      ``--arch plain``; the ``--deform`` serving configuration
+      (Pallas lerp kernel, R=1) for ``--arch dcn``)
+
+DIRECTLY against the torch reference's own forward + decode
+(centernet/model/decode.py:179-236) on 512 shared eval images at the
+production 640x360 serving shape.  No transitive legs: both stacks run
+identical weights and identical uint8 input frames.
+
+Architectures:
+  --arch plain  torch DLASeg with the DeformConv blocks' DCN swapped
+                for a plain 3x3 conv (the harness variant mirroring the
+                rebuild's north-star serving architecture; the swap's
+                accuracy evidence is PARITY.md "DCN-IDA substitution")
+  --arch dcn    the reference's production DCN-IDA CenterpointDLA34
+                as-is (pure-torch torchvision.ops.DeformConv2d drop-in,
+                cross-validated in tests/test_torch_dcn_parity.py)
+
+Phases (cacheable; torch phases never touch the TPU):
+  train       torch-train on synthetic squares (128x128 — fully
+              convolutional weights, CPU-trainable scale)
+  torch-eval  torch forward + reference decode on the 512 shared
+              360x640 eval images -> detections pickle
+  flax-eval   transplant, run legs (a)/(b) on the TPU, report the
+              PARITY.md delta table (eval/detection_eval.
+              decoded_pair_deltas format)
+
+Run:
+  python -m tauv_vision_tpu.scripts.transplant_parity --arch plain \
+      --phase train,torch-eval   # CPU, backgroundable
+  python -m tauv_vision_tpu.scripts.transplant_parity --arch plain \
+      --phase flax-eval          # TPU
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import pickle
+from math import pi
+
+import numpy as np
+
+TRAIN_H = TRAIN_W = 128
+EVAL_H, EVAL_W = 360, 640
+# Eval squares: the quantize_accuracy_check distribution (24-96 px at
+# 360p); train squares match in normalized size (128/360 scale).
+TRAIN_MIN_SIDE, TRAIN_MAX_SIDE = 9, 34
+EVAL_MIN_SIDE, EVAL_MAX_SIDE = 24, 96
+MAX_OBJECTS = 4
+N_DETECTIONS = 10
+SCORE_THRESHOLD = 0.3
+EVAL_SEED = 20260820
+
+# The serving pipeline's normalization (serving/pipeline.py:39-40);
+# the torch side trains and evaluates with the identical transform so
+# shared uint8 frames produce identical model inputs.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STDDEV = (0.229, 0.224, 0.225)
+
+
+def _eval_batches(batch_size: int, n_images: int):
+    """Deterministic shared eval frames: uint8 is the interchange
+    format (both stacks consume the same bytes)."""
+    from tauv_vision_tpu.data.synthetic import (
+        SquareDatasetConfig,
+        generate_square_batch,
+    )
+
+    cfg = SquareDatasetConfig(
+        in_h=EVAL_H, in_w=EVAL_W, max_objects=MAX_OBJECTS,
+        min_side=EVAL_MIN_SIDE, max_side=EVAL_MAX_SIDE, rotate=False,
+    )
+    rng = np.random.default_rng(EVAL_SEED)
+    out = []
+    for _ in range(n_images // batch_size):
+        img, truth = generate_square_batch(rng, batch_size, cfg)
+        out.append(((np.clip(img, 0, 1) * 255).astype(np.uint8), truth))
+    return out
+
+
+def _normalize(frames_uint8: np.ndarray) -> np.ndarray:
+    x = frames_uint8.astype(np.float32) / 255.0
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STDDEV, np.float32)
+    return (x - mean) / std
+
+
+def _install_plain_deform_conv(cpd):
+    """Swap the reference's DeformConv block for the plain-conv harness
+    variant (same actf/BN layout, ordinary 3x3 conv — the architecture
+    the rebuild's north-star serves)."""
+    import torch
+
+    class PlainConv(torch.nn.Module):
+        def __init__(self, chi, cho):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(chi, cho, 3, padding=1)
+            self.actf = torch.nn.Sequential(
+                torch.nn.BatchNorm2d(cho, momentum=cpd.BN_MOMENTUM),
+                torch.nn.ReLU(inplace=True),
+            )
+
+        def forward(self, x):
+            return self.actf(self.conv(x))
+
+    cpd.DeformConv = PlainConv
+
+
+def _build_torch_model(arch: str):
+    from tauv_vision_tpu.scripts.compare_reference_accuracy import (
+        _install_reference_stubs,
+        make_torch_deform_conv2d,
+    )
+
+    _install_reference_stubs()
+    import torch
+    import torchvision
+
+    torchvision.ops.DeformConv2d = make_torch_deform_conv2d()
+    import tauv_vision.centernet.model.backbones.centerpoint_dla as cpd
+
+    cpd.DLA.load_pretrained_model = lambda self, **kw: None
+    if arch == "plain":
+        _install_plain_deform_conv(cpd)
+    torch.manual_seed(0)
+    return cpd.CenterpointDLA34(_ref_object_config())
+
+
+def _ref_object_config():
+    from tauv_vision.centernet.model.config import (
+        AngleConfig as RefAngleConfig,
+        ObjectConfig as RefObjectConfig,
+        ObjectConfigSet as RefObjectConfigSet,
+    )
+
+    return RefObjectConfigSet(configs=[
+        RefObjectConfig(
+            id="square",
+            yaw=RefAngleConfig(train=False, modulo=2 * pi),
+            pitch=RefAngleConfig(train=False, modulo=2 * pi),
+            roll=RefAngleConfig(train=False, modulo=2 * pi),
+            train_depth=False, train_keypoints=False, keypoints=[],
+        ),
+    ])
+
+
+def _ref_model_config(h, w):
+    from tauv_vision.centernet.model.config import (
+        ModelConfig as RefModelConfig,
+    )
+
+    # backbone_heights/channels are unused by the DLA-34 graph; in_h/w
+    # and downsamples (ratio 4 = DLASeg down_ratio) drive target
+    # generation and decode scaling.
+    return RefModelConfig(
+        backbone_heights=[2, 2], backbone_channels=[16, 16, 32],
+        in_h=h, in_w=w, downsamples=2, angle_bin_overlap=pi / 3,
+    )
+
+
+def _my_object_config():
+    from tauv_vision_tpu.configs import (
+        AngleConfig,
+        ObjectConfig,
+        ObjectConfigSet,
+    )
+
+    return ObjectConfigSet(configs=(
+        ObjectConfig(
+            id="square",
+            yaw=AngleConfig(train=False, modulo=2 * pi),
+            pitch=AngleConfig(train=False, modulo=2 * pi),
+            roll=AngleConfig(train=False, modulo=2 * pi),
+            train_depth=False, train_keypoints=False, keypoints=None,
+        ),
+    ))
+
+
+def phase_train(args, workdir):
+    """Train the torch reference graph on synthetic squares (CPU)."""
+    import torch
+
+    from tauv_vision_tpu.data.synthetic import (
+        SquareDatasetConfig,
+        generate_square_batch,
+    )
+
+    model = _build_torch_model(args.arch)
+    from tauv_vision.centernet.model.loss import loss as ref_loss
+    from tauv_vision.centernet.model.config import (
+        TrainConfig as RefTrainConfig,
+    )
+
+    model_config = _ref_model_config(TRAIN_H, TRAIN_W)
+    train_config = RefTrainConfig(
+        lr=args.lr, batch_size=args.batch_size, n_batches=0, n_epochs=1,
+        heatmap_focal_loss_a=2.0, heatmap_focal_loss_b=4.0,
+        heatmap_sigma_factor=0.1, keypoint_heatmap_sigma=1.0,
+        keypoint_affinity_sigma=2.0, loss_lambda_keypoint_heatmap=1.0,
+        loss_lambda_keypoint_affinity=1.0, loss_lambda_size=0.1,
+        loss_lambda_offset=1.0, loss_lambda_angle=1.0,
+        loss_lambda_depth=1.0, n_workers=0, weight_save_interval=1,
+    )
+    object_config = _ref_object_config()
+
+    sq = SquareDatasetConfig(
+        in_h=TRAIN_H, in_w=TRAIN_W, max_objects=MAX_OBJECTS,
+        min_side=TRAIN_MIN_SIDE, max_side=TRAIN_MAX_SIDE, rotate=False,
+    )
+    rng = np.random.default_rng(7)
+
+    class _Bag:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    def to_truth(truth):
+        z = torch.zeros(truth.valid.shape, dtype=torch.float32)
+        return _Bag(
+            valid=torch.from_numpy(np.asarray(truth.valid)),
+            label=torch.from_numpy(np.asarray(truth.label)).long(),
+            center=torch.from_numpy(np.asarray(truth.center)),
+            size=torch.from_numpy(np.asarray(truth.size)),
+            roll=z, pitch=z, yaw=z, depth=torch.ones_like(z),
+            keypoint_valid=None, keypoint_label=None,
+            keypoint_center=None, keypoint_object_index=None,
+        )
+
+    optimizer = torch.optim.Adam(model.parameters(), lr=args.lr)
+    model.train()
+    for step in range(args.steps):
+        img, truth = generate_square_batch(rng, args.batch_size, sq)
+        frames = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        img_t = torch.from_numpy(
+            np.moveaxis(_normalize(frames), -1, 1)
+        ).contiguous()
+        prediction = model(img_t)
+        losses = ref_loss(prediction, to_truth(truth), model_config,
+                          train_config, object_config, img=None)
+        optimizer.zero_grad()
+        losses.total.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        optimizer.step()
+        if step % 20 == 0:
+            print(f"torch step {step}: total={float(losses.total):.4f}",
+                  flush=True)
+    model.eval()
+
+    state = {
+        k: v.detach().cpu().numpy() for k, v in model.state_dict().items()
+    }
+    with open(workdir / "torch_state.pkl", "wb") as fp:
+        pickle.dump(state, fp)
+    print(f"saved {workdir / 'torch_state.pkl'}", flush=True)
+
+
+def phase_torch_eval(args, workdir):
+    """Torch forward + the reference's own decode on the shared eval
+    frames (CPU; slow for --arch dcn — backgroundable)."""
+    import torch
+
+    model = _build_torch_model(args.arch)
+    with open(workdir / "torch_state.pkl", "rb") as fp:
+        state = pickle.load(fp)
+    model.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in state.items()}
+    )
+    model.eval()
+
+    from tauv_vision.centernet.model.decode import decode as ref_decode
+
+    model_config = _ref_model_config(EVAL_H, EVAL_W)
+    detections = []
+    with torch.no_grad():
+        for i, (frames, _) in enumerate(
+            _eval_batches(args.eval_batch, args.eval_images)
+        ):
+            img_t = torch.from_numpy(
+                np.moveaxis(_normalize(frames), -1, 1)
+            ).contiguous()
+            prediction = model(img_t)
+            decoded = ref_decode(prediction, model_config, N_DETECTIONS,
+                                 score_threshold=SCORE_THRESHOLD)
+            for sample in decoded:
+                detections.append([
+                    (int(d.label), float(d.score), float(d.y), float(d.x),
+                     float(d.h), float(d.w))
+                    for d in sample
+                ])
+            print(f"torch eval batch {i}: "
+                  f"{sum(len(s) for s in detections)} detections so far",
+                  flush=True)
+    with open(workdir / "torch_dets.pkl", "wb") as fp:
+        pickle.dump(detections, fp)
+    print(f"saved {workdir / 'torch_dets.pkl'}", flush=True)
+
+
+def phase_flax_eval(args, workdir):
+    """Transplant the torch state_dict and measure decoded deltas of
+    the f32 pipeline and the EXACT served graph vs the torch decode."""
+    import jax
+    import jax.numpy as jnp
+
+    cache = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tauv_vision_tpu.configs import CenternetModelConfig
+    from tauv_vision_tpu.eval.detection_eval import (
+        EvalDetection,
+        decoded_pair_deltas,
+        detections_from_arrays,
+    )
+    from tauv_vision_tpu.models.centerpoint_dla import (
+        CenterpointDLA34,
+        load_centerpoint_dla34_state_dict,
+    )
+    from tauv_vision_tpu.serving.compiler import serving_compiler_options
+    from tauv_vision_tpu.serving.pipeline import make_centernet_pipeline
+
+    with open(workdir / "torch_state.pkl", "rb") as fp:
+        state = pickle.load(fp)
+    variables = load_centerpoint_dla34_state_dict(state)
+
+    with open(workdir / "torch_dets.pkl", "rb") as fp:
+        torch_dets = [
+            [EvalDetection(*d) for d in sample]
+            for sample in pickle.load(fp)
+        ]
+
+    object_config = _my_object_config()
+    model_config = CenternetModelConfig(
+        in_h=EVAL_H, in_w=EVAL_W, backbone_heights=(2, 2, 2, 2, 2),
+        backbone_channels=(128,) * 6, downsamples=2,
+        angle_bin_overlap=pi / 3,
+    )
+
+    if args.arch == "plain":
+        # Leg (a): f32 exact flow; leg (b): the north-star serving graph
+        # (bf16 + bn16, serving decode, tuned compiler options).
+        model_f32 = CenterpointDLA34(
+            object_config=object_config, deform=False, dtype=jnp.float32,
+        )
+        model_served = CenterpointDLA34(
+            object_config=object_config, deform=False,
+            dtype=jnp.bfloat16, bn_out=jnp.bfloat16,
+        )
+    else:
+        # Leg (a): gather = torchvision-exact DCN, f32, unbounded.
+        # Leg (b): the --deform serving graph (Pallas lerp kernel, R=1
+        # — torch-trained offsets are unbounded, so R-clamping deltas
+        # are part of the honest measurement).
+        model_f32 = CenterpointDLA34(
+            object_config=object_config, deform=True, dcn_impl="gather",
+            dtype=jnp.float32,
+        )
+        model_served = CenterpointDLA34(
+            object_config=object_config, deform=True, dcn_impl="pallas",
+            dcn_max_offset=1, dtype=jnp.bfloat16, bn_out=jnp.bfloat16,
+        )
+
+    pipe_f32 = jax.jit(make_centernet_pipeline(
+        model_f32, model_config, N_DETECTIONS, SCORE_THRESHOLD,
+        dtype=jnp.float32, jit=False,
+    ))
+    pipe_served = jax.jit(
+        make_centernet_pipeline(
+            model_served, model_config, N_DETECTIONS, SCORE_THRESHOLD,
+            jit=False,
+        ),
+        compiler_options=serving_compiler_options(),
+    )
+
+    def collect(pipe):
+        out = []
+        for frames, _ in _eval_batches(args.eval_batch, args.eval_images):
+            d = pipe(variables, jnp.asarray(frames))
+            out.extend(detections_from_arrays(
+                np.asarray(d.valid), np.asarray(d.score),
+                np.asarray(d.label), np.asarray(d.y), np.asarray(d.x),
+                np.asarray(d.h), np.asarray(d.w),
+            ))
+        return out
+
+    result = {
+        "arch": args.arch,
+        "eval_images": args.eval_images,
+        "torch_detections": sum(len(s) for s in torch_dets),
+    }
+    for leg, pipe in (("f32", pipe_f32), ("served", pipe_served)):
+        dets = collect(pipe)
+        stats = decoded_pair_deltas(torch_dets, dets)
+        result[leg] = stats
+        print(f"[{args.arch}/{leg} vs torch] " + json.dumps(stats),
+              flush=True)
+
+    with open(workdir / "result.json", "w") as fp:
+        json.dump(result, fp, indent=2)
+    print(json.dumps(result))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--arch", choices=("plain", "dcn"), default="plain")
+    parser.add_argument("--phase", default="all",
+                        help="comma-separated: train,torch-eval,flax-eval")
+    parser.add_argument("--steps", type=int, default=400)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--eval-images", type=int, default=512)
+    parser.add_argument("--eval-batch", type=int, default=8)
+    parser.add_argument("--workdir", default=None)
+    args = parser.parse_args(argv)
+
+    workdir = pathlib.Path(
+        args.workdir or f"/tmp/transplant_{args.arch}"
+    )
+    workdir.mkdir(parents=True, exist_ok=True)
+
+    phases = (
+        ("train", "torch-eval", "flax-eval") if args.phase == "all"
+        else tuple(args.phase.split(","))
+    )
+    for phase in phases:
+        print(f"=== phase {phase} ({args.arch}) ===", flush=True)
+        {"train": phase_train,
+         "torch-eval": phase_torch_eval,
+         "flax-eval": phase_flax_eval}[phase](args, workdir)
+
+
+if __name__ == "__main__":
+    main()

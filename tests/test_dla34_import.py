@@ -48,6 +48,141 @@ def reference_path():
     sys.path.remove(REFERENCE)
 
 
+def _square_configs():
+    """Matching (reference, rebuild) single-class object configs."""
+    from math import pi
+
+    from tauv_vision.centernet.model.config import (
+        AngleConfig as RefAngleConfig,
+        ObjectConfig as RefObjectConfig,
+        ObjectConfigSet as RefObjectConfigSet,
+    )
+
+    from tauv_vision_tpu.configs import (
+        AngleConfig,
+        ObjectConfig,
+        ObjectConfigSet,
+    )
+
+    ref = RefObjectConfigSet(configs=[
+        RefObjectConfig(
+            id="square",
+            yaw=RefAngleConfig(train=False, modulo=2 * pi),
+            pitch=RefAngleConfig(train=False, modulo=2 * pi),
+            roll=RefAngleConfig(train=False, modulo=2 * pi),
+            train_depth=False, train_keypoints=False, keypoints=[],
+        ),
+    ])
+    mine = ObjectConfigSet(configs=(
+        ObjectConfig(
+            id="square",
+            yaw=AngleConfig(train=False, modulo=2 * pi),
+            pitch=AngleConfig(train=False, modulo=2 * pi),
+            roll=AngleConfig(train=False, modulo=2 * pi),
+            train_depth=False, train_keypoints=False, keypoints=None,
+        ),
+    ))
+    return ref, mine
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("deform", [True, False])
+def test_centerpoint_dla34_full_import_parity(deform):
+    """ONE torch ``CenterpointDLA34`` state_dict (the reference's FULL
+    production graph: trunk + DLAUp + IDAUp + DCN offset/mask convs +
+    bilinear up-convs + heads, centerpoint_dla.py:411-531) transplanted
+    via load_centerpoint_dla34_state_dict must reproduce every
+    Prediction field of the torch forward.  ``deform=False`` covers the
+    plain-IDA harness variant (DeformConv2d swapped for a plain conv on
+    BOTH sides) that mirrors the rebuild's north-star serving
+    architecture."""
+    from tauv_vision_tpu.scripts.compare_reference_accuracy import (
+        make_torch_deform_conv2d,
+    )
+
+    import torchvision
+
+    torchvision.ops.DeformConv2d = make_torch_deform_conv2d()
+    import tauv_vision.centernet.model.backbones.centerpoint_dla as cpd
+
+    from tauv_vision_tpu.models.centerpoint_dla import (
+        CenterpointDLA34,
+        load_centerpoint_dla34_state_dict,
+    )
+
+    ref_oc, my_oc = _square_configs()
+
+    cpd.DLA.load_pretrained_model = lambda self, **kw: None
+    if not deform:
+        # Plain-IDA harness variant: same DeformConv block shape with
+        # the DCN replaced by an ordinary 3x3 conv (no offset/mask).
+        class PlainConv(torch.nn.Module):
+            def __init__(self, chi, cho):
+                super().__init__()
+                self.conv = torch.nn.Conv2d(chi, cho, 3, padding=1)
+                self.actf = torch.nn.Sequential(
+                    torch.nn.BatchNorm2d(cho, momentum=cpd.BN_MOMENTUM),
+                    torch.nn.ReLU(inplace=True),
+                )
+
+            def forward(self, x):
+                return self.actf(self.conv(x))
+
+        orig = cpd.DeformConv
+        cpd.DeformConv = PlainConv
+        try:
+            torch.manual_seed(1)
+            ref = cpd.CenterpointDLA34(ref_oc).eval()
+        finally:
+            cpd.DeformConv = orig
+    else:
+        torch.manual_seed(1)
+        ref = cpd.CenterpointDLA34(ref_oc).eval()
+
+    with torch.no_grad():
+        for module in ref.modules():
+            if isinstance(module, torch.nn.BatchNorm2d):
+                module.running_mean.uniform_(-0.3, 0.3)
+                module.running_var.uniform_(0.5, 1.5)
+        # Zero-init offset convs keep DCN sampling on-grid; perturb so
+        # the bilinear path (and the importer's offset mapping) is
+        # actually exercised.
+        if deform:
+            for name, module in ref.named_modules():
+                if name.endswith(".offset"):
+                    module.weight.uniform_(-0.01, 0.01)
+                    module.bias.uniform_(-0.5, 0.5)
+
+    x = np.random.default_rng(3).normal(
+        size=(2, 3, 64, 96)
+    ).astype(np.float32)
+    with torch.no_grad():
+        ref_pred = ref(torch.from_numpy(x))
+
+    variables = load_centerpoint_dla34_state_dict(ref.state_dict())
+    model = CenterpointDLA34(
+        object_config=my_oc, deform=deform, dcn_impl="gather",
+        offset_bound=None,
+    )
+    mine = model.apply(
+        variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False
+    )
+
+    # Reference field layouts: heatmap NCHW; size/offset permuted NHWC
+    # (centerpoint_dla.py:563-576).  Rebuild: NHWC throughout.
+    comparisons = [
+        ("heatmap", np.transpose(np.asarray(mine.heatmap), (0, 3, 1, 2)),
+         ref_pred.heatmap.numpy()),
+        ("size", np.asarray(mine.size), ref_pred.size.numpy()),
+        ("offset", np.asarray(mine.offset), ref_pred.offset.numpy()),
+    ]
+    for name, got, want in comparisons:
+        assert got.shape == want.shape, name
+        np.testing.assert_allclose(
+            got, want, atol=5e-3, err_msg=name,
+        )
+
+
 @pytest.mark.slow
 def test_dla34_trunk_import_parity():
     from tauv_vision.centernet.model.backbones.centerpoint_dla import (
