@@ -306,6 +306,17 @@ class DLATrunk(nn.Module):
     early_pack: int = 0
     dtype: jnp.dtype = jnp.float32
     bn_out: jnp.dtype = jnp.float32
+    # Stages forced to full f32 (conv compute + BN outputs) regardless
+    # of dtype/bn_out: subset of {"early", "level2".."level5"}.  The
+    # f32-from-level-K serving ladder's knob (scripts/cn_f32_ladder.py)
+    # — parameter tree unchanged, so trained checkpoints load as-is.
+    f32_stages: Tuple[str, ...] = ()
+
+    def _sdt(self, stage):
+        return jnp.float32 if stage in self.f32_stages else self.dtype
+
+    def _sbn(self, stage):
+        return jnp.float32 if stage in self.f32_stages else self.bn_out
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> List[jnp.ndarray]:
@@ -349,14 +360,14 @@ class DLATrunk(nn.Module):
 
                 x = S2DStemConv(
                     self.channels[0], 7, stride=1, f=self.stem_s2d,
-                    dtype=self.dtype, name="base_conv",
+                    dtype=self._sdt("early"), name="base_conv",
                 )(img)
             else:
                 x = nn.Conv(
                     self.channels[0], (7, 7), padding=3, use_bias=False,
-                    dtype=self.dtype, name="base_conv",
+                    dtype=self._sdt("early"), name="base_conv",
                 )(img)
-            x = nn.relu(_bn(train, "base_bn", self.bn_out)(x))
+            x = nn.relu(_bn(train, "base_bn", self._sbn("early"))(x))
 
             outputs = []
 
@@ -367,12 +378,13 @@ class DLATrunk(nn.Module):
                     x = nn.Conv(
                         self.channels[level_i], (3, 3),
                         strides=(stride if conv_i == 0 else 1,) * 2,
-                        padding=1, use_bias=False, dtype=self.dtype,
+                        padding=1, use_bias=False,
+                        dtype=self._sdt("early"),
                         name=f"level{level_i}_conv{conv_i}",
                     )(x)
                     x = nn.relu(
                         _bn(train, f"level{level_i}_bn{conv_i}",
-                            self.bn_out)(x)
+                            self._sbn("early"))(x)
                     )
                 outputs.append(x)
 
@@ -384,8 +396,8 @@ class DLATrunk(nn.Module):
                 self.channels[level_i],
                 stride=2,
                 level_root=(level_i != 2),
-                dtype=self.dtype,
-                bn_out=self.bn_out,
+                dtype=self._sdt(f"level{level_i}"),
+                bn_out=self._sbn(f"level{level_i}"),
                 name=f"level{level_i}",
             )(x, train=train)
             outputs.append(x)
@@ -710,6 +722,17 @@ class DLASeg(nn.Module):
     up_impl: str = "dilated"
     dtype: jnp.dtype = jnp.float32
     bn_out: jnp.dtype = jnp.float32
+    # Stages forced to full f32 regardless of dtype/bn_out: subset of
+    # {"early", "level2".."level5", "dla_up", "ida_up", "heads"}.  The
+    # f32-from-level-K serving ladder walks cumulative suffixes of the
+    # chain (scripts/cn_f32_ladder.py); param tree unchanged.
+    f32_stages: Tuple[str, ...] = ()
+
+    def _sdt(self, stage):
+        return jnp.float32 if stage in self.f32_stages else self.dtype
+
+    def _sbn(self, stage):
+        return jnp.float32 if stage in self.f32_stages else self.bn_out
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> List[jnp.ndarray]:
@@ -717,7 +740,8 @@ class DLASeg(nn.Module):
 
         levels = DLATrunk(
             stem_s2d=self.stem_s2d, early_pack=self.early_pack,
-            dtype=self.dtype, bn_out=self.bn_out, name="base"
+            dtype=self.dtype, bn_out=self.bn_out,
+            f32_stages=self.f32_stages, name="base"
         )(img, train=train)
 
         channels = list(DLA34_CHANNELS[first_level:])
@@ -726,7 +750,8 @@ class DLASeg(nn.Module):
             dcn_max_offset=self.dcn_max_offset,
                 offset_bound=self.offset_bound,
             up_impl=self.up_impl,
-            dtype=self.dtype, bn_out=self.bn_out, name="dla_up",
+            dtype=self._sdt("dla_up"), bn_out=self._sbn("dla_up"),
+            name="dla_up",
         )(levels[first_level:], train=train)
 
         y = list(dla_up_out[: self.last_level - first_level])
@@ -736,7 +761,7 @@ class DLASeg(nn.Module):
             dcn_impl=self.dcn_impl, dcn_max_offset=self.dcn_max_offset,
                 offset_bound=self.offset_bound,
             up_impl=self.up_impl,
-            dtype=self.dtype, bn_out=self.bn_out,
+            dtype=self._sdt("ida_up"), bn_out=self._sbn("ida_up"),
             name="ida_up",
         )(y, train=train)
         features = y[-1]
@@ -748,14 +773,15 @@ class DLASeg(nn.Module):
                     -2.19 if head_i in self.heatmap_head_indices else 0.0
                 )
                 h = nn.Conv(
-                    self.head_conv, (3, 3), padding=1, dtype=self.dtype,
+                    self.head_conv, (3, 3), padding=1,
+                    dtype=self._sdt("heads"),
                     name=f"head_{head_i}_conv",
                 )(features)
                 h = nn.relu(h)
                 h = nn.Conv(
                     n_out, (1, 1),
                     bias_init=nn.initializers.constant(bias_init),
-                    dtype=self.dtype, name=f"head_{head_i}_out",
+                    dtype=self._sdt("heads"), name=f"head_{head_i}_out",
                 )(h)
                 outputs.append(h.astype(jnp.float32))
             return outputs
@@ -826,6 +852,8 @@ class CenterpointDLA34(nn.Module):
     # parity-suite-exact flow, bf16 the served variant certified by the
     # quantize_accuracy_check 'flax-bf16-bn16' rung.
     bn_out: jnp.dtype = jnp.float32
+    # f32-from-level-K ladder stages (see DLASeg.f32_stages).
+    f32_stages: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> Prediction:
@@ -851,6 +879,7 @@ class CenterpointDLA34(nn.Module):
                 up_impl=self.up_impl,
                 dtype=self.dtype,
                 bn_out=self.bn_out,
+                f32_stages=self.f32_stages,
                 name="model",
             )(img, train=train)
         )
