@@ -149,7 +149,13 @@ def _torch_resnet18_trunk():
     return Trunk
 
 
-def train_reference(train_batches, steps, lr, log_every):
+def install_yolact_torch_env():
+    """Make the reference torch YOLACT importable offline: reference
+    stubs + torchvision.feature_extraction / Bottleneck restatements +
+    the same-architecture random-init trunk substituted for the
+    hardcoded pretrained backbone ctor (model.py:25).  Returns the
+    reference model module.  Shared by this harness and the
+    full-import parity test (tests/test_yolact_import.py)."""
     import sys
     import types
 
@@ -198,15 +204,23 @@ def train_reference(train_batches, steps, lr, log_every):
     sys.modules.setdefault("torchvision.models.resnet", resnet_mod)
     sys.modules["torchvision.models"].resnet = resnet_mod
     import tauv_vision.yolact.model.model as ref_model_mod
+
+    # The reference model hardcodes its torchvision-pretrained backbone
+    # ctor (model.py:25); substitute the same-architecture random-init
+    # trunk so both stacks train from scratch on the same data.
+    ref_model_mod.Resnet101Backbone = _torch_resnet18_trunk()
+    return ref_model_mod
+
+
+def train_reference(train_batches, steps, lr, log_every):
+    import torch
+
+    ref_model_mod = install_yolact_torch_env()
     from tauv_vision.yolact.model.config import ModelConfig as RefModelConfig
     from tauv_vision.yolact.model.loss import loss as ref_loss
     from tauv_vision.yolact.model.weights import initialize_weights
 
     torch.manual_seed(0)
-    # The reference model hardcodes its torchvision-pretrained backbone
-    # ctor (model.py:25); substitute the same-architecture random-init
-    # trunk so both stacks train from scratch on the same data.
-    ref_model_mod.Resnet101Backbone = _torch_resnet18_trunk()
 
     config = RefModelConfig(
         img_mean=(0.0, 0.0, 0.0), img_stddev=(1.0, 1.0, 1.0),
