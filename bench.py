@@ -48,7 +48,7 @@ def _enable_compilation_cache():
 def build_centernet(deform: bool = True, dcn_impl: str = "pallas",
                     dcn_max_offset: float = 3, dcn_bound: bool = False,
                     early_pack: int = 0, up_impl: str = "dilated",
-                    bn_bf16: bool = False):
+                    bn_bf16: bool = False, f32_stages: tuple = ()):
     import jax
     import jax.numpy as jnp
 
@@ -92,6 +92,7 @@ def build_centernet(deform: bool = True, dcn_impl: str = "pallas",
         offset_bound=dcn_max_offset if dcn_bound else None,
         early_pack=early_pack, up_impl=up_impl,
         bn_out=jnp.bfloat16 if bn_bf16 else jnp.float32,
+        f32_stages=tuple(f32_stages),
     )
     img = jnp.zeros((1, BENCH_H, BENCH_W, 3), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, img, train=False))(
@@ -1290,10 +1291,26 @@ def main():
         profile = "north-star"
     is_north_star = profile == "north-star"
     bn_bf16 = "--bn-bf16" in sys.argv or (is_north_star and not exact_flow)
+    # --f32-from S1,S2,...: CN stages forced to full f32 (conv compute +
+    # BN outputs) — the f32-from-level-K serving ladder's knob
+    # (scripts/cn_f32_ladder.py; stages from {early, level2..level5,
+    # dla_up, ida_up, heads}).
+    f32_stages = ()
+    if "--f32-from" in sys.argv:
+        f32_stages = tuple(
+            sys.argv[sys.argv.index("--f32-from") + 1].split(",")
+        )
+        known_stages = {"early", "stem", "level0", "level1", "level2",
+                        "level3", "level4", "level5", "dla_up", "ida_up",
+                        "heads"}
+        bad = [s for s in f32_stages if s not in known_stages]
+        if bad:
+            raise SystemExit(f"unknown --f32-from stage(s) {bad}; "
+                             f"known: {sorted(known_stages)}")
     cn_pipeline, cn_vars, cn_model, cn_cfg, cn_raw = build_centernet(
         deform=deform, dcn_impl=dcn_impl, dcn_max_offset=dcn_max_offset,
         dcn_bound=dcn_bound, early_pack=early_pack, up_impl=up_impl,
-        bn_bf16=bn_bf16,
+        bn_bf16=bn_bf16, f32_stages=f32_stages,
     )
     yl_pipeline, yl_vars, yl_model, yl_cfg, yl_raw = build_yolact()
 
@@ -1625,6 +1642,7 @@ def main():
             "int8_transpose": int8_transpose if chain else None,
             "bf16_joins": (yl_join_dtype is not None) if chain else None,
             "bn_bf16": bn_bf16,
+            "f32_stages": list(f32_stages) or None,
             "up_impl": up_impl if up_impl != "dilated" else None,
             "bf16_tail": list(bf16_tail) if (chain and parity) else None,
             "mse_clip": mse if (chain and parity) else None,

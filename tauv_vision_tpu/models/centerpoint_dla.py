@@ -307,16 +307,23 @@ class DLATrunk(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_out: jnp.dtype = jnp.float32
     # Stages forced to full f32 (conv compute + BN outputs) regardless
-    # of dtype/bn_out: subset of {"early", "level2".."level5"}.  The
+    # of dtype/bn_out: subset of {"stem", "level0", "level1",
+    # "level2".."level5"}; "early" = stem+level0+level1.  The
     # f32-from-level-K serving ladder's knob (scripts/cn_f32_ladder.py)
     # — parameter tree unchanged, so trained checkpoints load as-is.
     f32_stages: Tuple[str, ...] = ()
 
+    def _hit(self, stage):
+        return stage in self.f32_stages or (
+            "early" in self.f32_stages
+            and stage in ("stem", "level0", "level1")
+        )
+
     def _sdt(self, stage):
-        return jnp.float32 if stage in self.f32_stages else self.dtype
+        return jnp.float32 if self._hit(stage) else self.dtype
 
     def _sbn(self, stage):
-        return jnp.float32 if stage in self.f32_stages else self.bn_out
+        return jnp.float32 if self._hit(stage) else self.bn_out
 
     @nn.compact
     def __call__(self, img, train: bool = False) -> List[jnp.ndarray]:
@@ -360,14 +367,14 @@ class DLATrunk(nn.Module):
 
                 x = S2DStemConv(
                     self.channels[0], 7, stride=1, f=self.stem_s2d,
-                    dtype=self._sdt("early"), name="base_conv",
+                    dtype=self._sdt("stem"), name="base_conv",
                 )(img)
             else:
                 x = nn.Conv(
                     self.channels[0], (7, 7), padding=3, use_bias=False,
-                    dtype=self._sdt("early"), name="base_conv",
+                    dtype=self._sdt("stem"), name="base_conv",
                 )(img)
-            x = nn.relu(_bn(train, "base_bn", self._sbn("early"))(x))
+            x = nn.relu(_bn(train, "base_bn", self._sbn("stem"))(x))
 
             outputs = []
 
@@ -379,12 +386,12 @@ class DLATrunk(nn.Module):
                         self.channels[level_i], (3, 3),
                         strides=(stride if conv_i == 0 else 1,) * 2,
                         padding=1, use_bias=False,
-                        dtype=self._sdt("early"),
+                        dtype=self._sdt(f"level{level_i}"),
                         name=f"level{level_i}_conv{conv_i}",
                     )(x)
                     x = nn.relu(
                         _bn(train, f"level{level_i}_bn{conv_i}",
-                            self._sbn("early"))(x)
+                            self._sbn(f"level{level_i}"))(x)
                     )
                 outputs.append(x)
 

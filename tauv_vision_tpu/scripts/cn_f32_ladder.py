@@ -54,6 +54,20 @@ RUNGS = (
     ("all-f32",
      ("heads", "ida_up", "dla_up", "level5", "level4", "level3",
       "level2", "early")),
+    # Round-5 second ladder: the head-backwards rungs all sit at the
+    # bn16 deltas and only all-f32 collapses to 0 — the entire
+    # score/size delta originates in the EARLY trunk (stem/level0/
+    # level1 bf16 + the bf16 input cast).  Walk forward from the input
+    # instead (the "early"-alias rungs; input cast follows the stem).
+    ("f32-stem", ("stem",)),
+    ("f32-stem0", ("stem", "level0")),
+    ("f32-early", ("early",)),
+    ("f32-early2", ("early", "level2")),
+    ("f32-early23", ("early", "level2", "level3")),
+    # Frontier-completion rungs: early + the aggregation tail (trees
+    # stay bf16), and the full-trunk complement (tail stays bf16).
+    ("f32-early-tail", ("early", "dla_up", "ida_up", "heads")),
+    ("f32-trunk", ("early", "level2", "level3", "level4", "level5")),
 )
 
 
@@ -200,10 +214,11 @@ def main(argv=None):
         )
 
     def make_delta_pipeline(model):
-        # Input cast follows the first stage's dtype (the all-f32 anchor
-        # must reproduce the f32 pipe exactly, including the input).
+        # Input cast follows the stem's dtype (the all-f32 anchor must
+        # reproduce the f32 pipe exactly, including the input).
         in_dtype = (
-            jnp.float32 if "early" in model.f32_stages else model.dtype
+            jnp.float32
+            if {"early", "stem"} & set(model.f32_stages) else model.dtype
         )
 
         @jax.jit
