@@ -1294,8 +1294,15 @@ def main():
     # --f32-from S1,S2,...: CN stages forced to full f32 (conv compute +
     # BN outputs) — the f32-from-level-K serving ladder's knob
     # (scripts/cn_f32_ladder.py; stages from {early, level2..level5,
-    # dla_up, ida_up, heads}).
-    f32_stages = ()
+    # dla_up, ida_up, heads}).  The north-star profile serves an f32
+    # STEM by default (round 5): the 7x7 C_in=3 stem is 0.2% of CN
+    # FLOPs and HBM-bound, and computing it in f32 removes the
+    # uint8->bf16 input-rounding that dominated the decoded score delta
+    # (score p95 2.82e-3 -> 9.0e-4, center 7.5e-5 -> 3.8e-5, fps within
+    # noise — PARITY.md round 5, BENCH.md ladder 2).  --exact-flow
+    # restores the round-4 flax-exact flow (bf16 stem, f32 joins); an
+    # explicit --f32-from overrides the default.
+    f32_stages = ("stem",) if (is_north_star and not exact_flow) else ()
     if "--f32-from" in sys.argv:
         f32_stages = tuple(
             sys.argv[sys.argv.index("--f32-from") + 1].split(",")

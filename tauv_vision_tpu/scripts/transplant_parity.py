@@ -359,6 +359,7 @@ def phase_flax_eval(args, workdir):
         model_served = CenterpointDLA34(
             object_config=object_config, deform=False,
             dtype=jnp.bfloat16, bn_out=jnp.bfloat16,
+            f32_stages=("stem",),
         )
     else:
         # Leg (a): gather = torchvision-exact DCN, f32, unbounded.

@@ -248,3 +248,37 @@ def test_bn_out_bf16_trunk_guard_fast():
         assert np.abs(g - r).max() / denom < 0.03, (
             i, np.abs(g - r).max() / denom
         )
+
+
+def test_f32_stem_trunk_guard_fast():
+    """Fast-suite guard for the f32-stem default serving rung (round
+    5): with ``f32_stages=("stem",)`` the bf16 trunk's stem conv + BN
+    run in full f32, which must pull the trunk strictly closer to the
+    all-f32 flow than the plain-bf16 stem does (the mechanism behind
+    the score-p95 2.82e-3 -> 9.0e-4 collapse, PARITY.md round 5)."""
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    tiny = dict(levels=(1, 1, 1, 2, 2, 1), channels=(4, 8, 8, 16, 16, 32))
+    base = DLATrunk(**tiny, dtype=jnp.float32)
+    variables = base.init(jax.random.key(1), img, train=False)
+    f32_outs = base.apply(variables, img, train=False)
+
+    def worst_rel(outs):
+        worst = 0.0
+        for r, g in zip(f32_outs, outs):
+            r = np.asarray(r, np.float32)
+            g = np.asarray(g, np.float32)
+            worst = max(
+                worst,
+                float(np.abs(g - r).max() / (np.abs(r).max() + 1e-9)),
+            )
+        return worst
+
+    bf16 = worst_rel(DLATrunk(**tiny, dtype=jnp.bfloat16).apply(
+        variables, img, train=False
+    ))
+    stem32 = worst_rel(DLATrunk(
+        **tiny, dtype=jnp.bfloat16, f32_stages=("stem",)
+    ).apply(variables, img, train=False))
+    assert stem32 < bf16, (stem32, bf16)
+    assert stem32 < 0.03, stem32
