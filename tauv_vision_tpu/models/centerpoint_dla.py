@@ -28,7 +28,6 @@ import numpy as np
 
 from tauv_vision_tpu.configs.centernet import ObjectConfigSet, get_head_channels
 from tauv_vision_tpu.models.centernet import Prediction
-from tauv_vision_tpu.models.dla import pad_to_match
 from tauv_vision_tpu.ops.deform_conv import deform_conv2d, deform_conv2d_shift
 
 BN_MOMENTUM = 0.9  # == torch momentum 0.1
@@ -625,6 +624,34 @@ class DepthwiseUpsample(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
         )
+
+
+def pad_to_match(feature: jnp.ndarray, target_hw: Tuple[int, int]) -> jnp.ndarray:
+    """The PRODUCTION graph's size-matcher, reference-exact
+    (centerpoint_dla.py:395-409): when the feature OVERSHOOTS the
+    target by >= 2 (the final ida_up's x4 branch at serving resolution:
+    23x40 -> 92x164 vs 90x160), the reference pads (over//2) zero
+    rows/cols at the TOP/LEFT and then crops to the first target rows —
+    shifting content down/right and dropping the tail.  The torch net
+    TRAINS with that shift, so weight-transplant parity requires
+    reproducing it verbatim; the even-size and overshoot-by-1 cases
+    reduce to a plain tail crop, where the sane crop
+    (models/dla.pad_to_match) agrees.  Round-5 transplant bisect: this
+    one branch carried the entire full-graph drift (heatmap p99 0.21 ->
+    f32-exact after the fix)."""
+    h, w = feature.shape[1], feature.shape[2]
+    th, tw = target_hw
+    if (h, w) == (th, tw):
+        return feature
+    pad_top = max(0, (h - th) // 2)
+    pad_bottom = max(0, th - h - pad_top)
+    pad_left = max(0, (w - tw) // 2)
+    pad_right = max(0, tw - w - pad_left)
+    feature = jnp.pad(
+        feature,
+        ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right), (0, 0)),
+    )
+    return feature[:, :th, :tw, :]
 
 
 class IDAUpStage(nn.Module):
